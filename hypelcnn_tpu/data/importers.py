@@ -1,0 +1,196 @@
+"""Input-pipeline strategies ("importers").
+
+The reference has three (`importer/`): InMemoryImporter (eagerly gathers
+every patch to host arrays, `importer/InMemoryImporter.py:27-38`),
+GeneratorImporter (lazy per-target host generator,
+`importer/GeneratorImporter.py:16-100`), TFRecordImporter (pre-serialized
+records, `importer/TFRecordImporter.py:14-72`).
+
+TPU-native redesign: every strategy yields a jittable :class:`PatchSource`
+the train/eval steps call *inside* the compiled program:
+
+- ``GeneratorImporter`` -> :class:`ScenePatchSource`: the padded scene lives
+  in HBM and windows are gathered on-device per step.  This is the preferred
+  TPU path — it replaces the reference's host generator hot loop entirely.
+- ``InMemoryImporter`` -> :class:`ArrayPatchSource`: all patches are
+  pre-gathered into one device array per split; a step is a pure ``take``.
+- ``RecordImporter`` -> :class:`ArrayPatchSource` fed from an ``.npz`` cache
+  written by :mod:`hypelcnn_tpu.utils.record_writer` (the tfrecord_writer
+  equivalent) — same role: decouple training from the original scene files.
+
+All three return an :class:`ImportedDataSet` carrying the loader, scene,
+sample set and per-split patch sources.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypelcnn_tpu.core.registry import get_loader_from_name, register_importer
+from hypelcnn_tpu.data.loaders.base import SampleSet
+
+
+class PatchSource:
+    """Jittable patch access for one split."""
+
+    def gather(self, idx: jax.Array, coords: jax.Array,
+               key: Optional[jax.Array] = None) -> jax.Array:
+        raise NotImplementedError
+
+
+class ScenePatchSource(PatchSource):
+    def __init__(self, scene):
+        self.scene = scene
+        # materialize the device-resident scene eagerly — inside a jit trace
+        # the cached array would be a tracer and leak out of the trace
+        scene.warm_cache()
+
+    def gather(self, idx, coords, key=None):
+        del idx
+        gb = self.scene.gather_batch
+        try:
+            return gb(coords, key=key)
+        except TypeError:
+            return gb(coords)
+
+
+class ArrayPatchSource(PatchSource):
+    def __init__(self, patches: jax.Array):
+        self.patches = patches
+
+    def gather(self, idx, coords, key=None):
+        del coords, key
+        return jnp.take(self.patches, idx, axis=0)
+
+
+@dataclass
+class ImportedDataSet:
+    loader: Any
+    scene: Any
+    sample_set: SampleSet
+    class_count: int
+    data_shape: list
+    color_list: np.ndarray
+    sources: Dict[str, PatchSource]           # keys: training / test / validation
+    requires_separate_validation_branch: bool = True
+
+    def targets(self, split: str) -> np.ndarray:
+        return {"training": self.sample_set.training_targets,
+                "test": self.sample_set.test_targets,
+                "validation": self.sample_set.validation_targets}[split]
+
+
+def _load_common(loader_name: str, path: str, neighborhood: int,
+                 train_ratio: float, test_ratio: float):
+    loader = get_loader_from_name(loader_name, path)
+    scene = loader.load_data(neighborhood, normalize=True)
+    sample_set = loader.load_samples(train_ratio, test_ratio)
+    return loader, scene, sample_set
+
+
+def _gather_all_host(scene, targets: np.ndarray) -> np.ndarray:
+    """Host-side eager gather of every target patch
+    (reference `importer/InMemoryImporter.py:27-38`)."""
+    n = targets.shape[0]
+    shape = scene.get_data_shape()
+    out = np.empty((n, *shape), dtype=np.float32)
+    for i in range(n):
+        out[i] = scene.get_data_point(int(targets[i, 0]), int(targets[i, 1]))
+    return out
+
+
+class BaseImporter:
+    def read_data_set(self, loader_name: str, path: str, train_ratio: float,
+                      test_ratio: float, neighborhood: int) -> ImportedDataSet:
+        raise NotImplementedError
+
+
+@register_importer("GeneratorImporter")
+class GeneratorImporter(BaseImporter):
+    """On-device window gather from the HBM-resident scene (TPU-preferred)."""
+
+    requires_separate_validation_branch = True
+
+    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
+        loader, scene, sample_set = _load_common(loader_name, path, neighborhood,
+                                                 train_ratio, test_ratio)
+        src = ScenePatchSource(scene)
+        return ImportedDataSet(
+            loader=loader, scene=scene, sample_set=sample_set,
+            class_count=loader.get_class_count().stop,
+            data_shape=scene.get_data_shape(),
+            color_list=loader.get_samples_color_list(),
+            sources={"training": src, "test": src, "validation": src},
+            requires_separate_validation_branch=True)
+
+
+@register_importer("InMemoryImporter")
+class InMemoryImporter(BaseImporter):
+    """Pre-gathered per-split patch arrays resident on device.
+
+    Reference quirk documented (NOT preserved): the reference aliases the
+    validation tensors to the testing ones (`importer/InMemoryImporter.py:76-78`)
+    so "validation" metrics are computed on the test split; here validation
+    uses the loader's real validation targets.
+    """
+
+    requires_separate_validation_branch = True
+
+    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
+        loader, scene, sample_set = _load_common(loader_name, path, neighborhood,
+                                                 train_ratio, test_ratio)
+        sources = {}
+        for split, targets in (("training", sample_set.training_targets),
+                               ("test", sample_set.test_targets),
+                               ("validation", sample_set.validation_targets)):
+            patches = _gather_all_host(scene, targets) if targets.shape[0] else \
+                np.zeros((0, *scene.get_data_shape()), dtype=np.float32)
+            sources[split] = ArrayPatchSource(jnp.asarray(patches))
+        return ImportedDataSet(
+            loader=loader, scene=scene, sample_set=sample_set,
+            class_count=loader.get_class_count().stop,
+            data_shape=scene.get_data_shape(),
+            color_list=loader.get_samples_color_list(),
+            sources=sources,
+            requires_separate_validation_branch=True)
+
+
+@register_importer("RecordImporter")
+class RecordImporter(BaseImporter):
+    """Reads the ``.npz`` patch cache written by
+    :func:`hypelcnn_tpu.utils.record_writer.write_records` (tfrecord_writer
+    equivalent, reference `utilities/tfrecord_writer.py:10-82` /
+    `importer/TFRecordImporter.py:14-72`).  ``path`` points at the cache
+    file or its directory."""
+
+    requires_separate_validation_branch = False
+
+    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
+        import os
+        del train_ratio, test_ratio, neighborhood
+        cache_path = path if path.endswith(".npz") else os.path.join(path, "patch_cache.npz")
+        blob = np.load(cache_path, allow_pickle=False)
+        sources = {}
+        sample_targets = {}
+        for split in ("training", "test", "validation"):
+            patches = blob[f"{split}_patches"]
+            sample_targets[split] = blob[f"{split}_targets"]
+            sources[split] = ArrayPatchSource(jnp.asarray(patches))
+        sample_set = SampleSet(training_targets=sample_targets["training"],
+                               test_targets=sample_targets["test"],
+                               validation_targets=sample_targets["validation"])
+        class_count = int(blob["class_count"])
+        color_list = blob["color_list"] if "color_list" in blob else \
+            np.zeros((class_count, 3), dtype=np.uint8)
+        return ImportedDataSet(
+            loader=None, scene=None, sample_set=sample_set,
+            class_count=class_count,
+            data_shape=list(blob["data_shape"]),
+            color_list=color_list,
+            sources=sources,
+            requires_separate_validation_branch=False)

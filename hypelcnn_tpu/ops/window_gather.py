@@ -1,0 +1,129 @@
+"""On-device neighborhood window gather.
+
+This op replaces the reference's #1 hot loop: the host-side per-patch numpy
+slice feeding training and inference (`common/common_nn_ops.py:169-185`, and
+its numba dual-resolution variant `loader/GRSS2018DataLoader.py:12-44`).  In
+the rebuild the padded scene lives in device HBM and a batch of (x, y) sample
+coordinates is turned into a batch of [k, k, C] windows on-device, fused
+ahead of the model inside the same jitted step — no host round-trip, no
+per-pixel Python.
+
+Two implementations:
+
+- ``gather_patches_xla``: vmapped ``lax.dynamic_slice``.  Compiles to a
+  gather; works on every backend, used on CPU and as the autodiff-friendly
+  default.
+- ``gather_patches_pallas``: a Pallas TPU kernel using
+  ``PrefetchScalarGridSpec`` — coordinates are scalar-prefetched into SMEM so
+  each grid step can issue an async DMA copy of its window from the HBM-
+  resident scene straight into the output block in VMEM.  Keeps the scene
+  out of VMEM (it can be hundreds of MB) and overlaps the window DMAs across
+  grid steps.
+
+The dual-resolution variant (CASI at half the LiDAR resolution, GRSS2018)
+is ``gather_patches_dual``: per-modality integer scale factors reproduce
+``int(index * scale)`` resampling semantics of the reference numba kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def gather_patches_xla(scene: jax.Array, coords: jax.Array, patch_size: int) -> jax.Array:
+    """Gather ``[k, k, C]`` windows for a batch of coordinates.
+
+    Args:
+      scene: ``[Hp, Wp, C]`` padded scene (pad = neighborhood on each side,
+        reference `common/common_nn_ops.py:54-60`).
+      coords: ``[B, 2]`` int32 of (x, y) in unpadded scene space; the padding
+        offset cancels the neighborhood back-step exactly as in the reference
+        (`common/common_nn_ops.py:169-173`), so the window starts at (y, x).
+      patch_size: k = 2 * neighborhood + 1 (static).
+
+    Returns: ``[B, k, k, C]`` windows.
+    """
+    def one(xy):
+        return jax.lax.dynamic_slice(
+            scene, (xy[1], xy[0], 0), (patch_size, patch_size, scene.shape[2]))
+    return jax.vmap(one)(coords)
+
+
+def _gather_kernel(coords_ref, scene_ref, out_ref, sem):
+    i = pl.program_id(0)
+    x = coords_ref[i, 0]
+    y = coords_ref[i, 1]
+    k = out_ref.shape[1]
+    copy = pltpu.make_async_copy(
+        scene_ref.at[pl.ds(y, k), pl.ds(x, k), :],
+        out_ref.at[0],
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "interpret"))
+def gather_patches_pallas(scene: jax.Array, coords: jax.Array, patch_size: int,
+                          interpret: bool = False) -> jax.Array:
+    """Pallas TPU window gather: scene stays in HBM, windows DMA'd per grid step."""
+    batch = coords.shape[0]
+    channels = scene.shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, patch_size, patch_size, channels),
+            lambda i, coords: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, patch_size, patch_size, channels), scene.dtype),
+        interpret=interpret,
+    )(coords.astype(jnp.int32), scene)
+
+
+def gather_patches(scene: jax.Array, coords: jax.Array, patch_size: int,
+                   backend: str = "auto") -> jax.Array:
+    """Dispatch between the Pallas and XLA window-gather implementations."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return gather_patches_pallas(scene, coords, patch_size)
+    return gather_patches_xla(scene, coords, patch_size)
+
+
+def gather_patches_dual(casi: jax.Array, lidar: jax.Array, coords: jax.Array,
+                        neighborhood: int, casi_scale: float = 0.5) -> jax.Array:
+    """Dual-resolution gather: CASI sampled at ``casi_scale``, LiDAR at 1.0.
+
+    Reproduces the reference numba kernels' index math
+    (`loader/GRSS2018DataLoader.py:12-44`): window start for a modality with
+    scale s is ``int(point * s) + neighborhood - int(neighborhood * s)``, and
+    output pixel (yi, xi) reads the modality at offset ``int(i * s)``.
+
+    Returns ``[B, k, k, C_casi + 1]`` with LiDAR as the last channel.
+    """
+    k = 2 * neighborhood + 1
+    actual_pad = int(neighborhood * casi_scale)
+    offs = (jnp.arange(k) * casi_scale).astype(jnp.int32)  # int(i * scale)
+
+    def one(xy):
+        cx = (xy[0].astype(jnp.float32) * casi_scale).astype(jnp.int32) + neighborhood - actual_pad
+        cy = (xy[1].astype(jnp.float32) * casi_scale).astype(jnp.int32) + neighborhood - actual_pad
+        casi_rows = jnp.take(casi, cy + offs, axis=0)
+        casi_patch = jnp.take(casi_rows, cx + offs, axis=1)
+        lidar_patch = jax.lax.dynamic_slice(lidar, (xy[1], xy[0], 0), (k, k, lidar.shape[2]))
+        return jnp.concatenate([casi_patch, lidar_patch.astype(casi_patch.dtype)], axis=-1)
+
+    return jax.vmap(one)(coords.astype(jnp.int32))

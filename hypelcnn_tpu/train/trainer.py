@@ -1,0 +1,322 @@
+"""The classification training runtime.
+
+Replaces the reference's TF1 session machinery — ``create_graph`` /
+``optimize_nn`` (`common/common_nn_ops.py:208-240,330-373`) and
+``run_monitored_session`` with its hook zoo
+(`classify/monitored_session_runner.py:124-188`) — with two jitted step
+functions over explicit pytrees:
+
+- ``train_step``: on-device gather of the batch's neighborhood windows from
+  the HBM-resident scene, jitted augmentation, forward+backward, optimizer
+  update.  One XLA program; the host only feeds a step index.
+- ``eval_step``: forward + confusion-matrix scatter-add accumulation.
+
+Hook equivalents: periodic test evaluation every 100 steps (reference
+``TestHook`` `classify/monitored_session_runner.py:89-121`), validation on a
+cadence (``ValidationHook`` `:48-86`), checkpoints on a cadence, a NaN
+tripwire that logs without killing (``NanTensorHook(fail_on_nan_loss=False)``
+`:151`).
+
+Scaling: the step is compiled against a ``Mesh``; the batch is sharded over
+the ``data`` axis and params are replicated, so XLA inserts the gradient
+all-reduce over ICI.  Single chip is the same code with a 1x1 mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hypelcnn_tpu.core.rng import RngPool
+from hypelcnn_tpu.data.augmentation import AugmentationInfo, augment_batch
+from hypelcnn_tpu.data.loaders.base import SampleSet
+from hypelcnn_tpu.models.base import NNModel
+from hypelcnn_tpu.parallel.mesh import DATA_AXIS, create_mesh
+from hypelcnn_tpu.train.metrics import MetricsResult, compute_metrics, confusion_update
+from hypelcnn_tpu.train.optimizer import build_optimizer
+from hypelcnn_tpu.train.state import TrainState, variables_of
+
+
+@dataclass
+class TrainingResult:
+    """Mirror of the reference's TrainingResult (`common/common_nn_ops.py:139-143`)."""
+    validation_accuracy: float
+    test_accuracy: float
+    loss: float
+    validation_metrics: Optional[MetricsResult] = None
+    test_metrics: Optional[MetricsResult] = None
+    history: list = field(default_factory=list)
+
+
+def make_epoch_index_stream(num_samples: int, batch_size: int, num_steps: int,
+                            rng: np.random.Generator) -> np.ndarray:
+    """Precompute per-epoch shuffled sample indices for every training step.
+
+    Epoch semantics of the reference's shuffle_and_repeat pipeline
+    (`common/common_nn_ops.py:188-201`) without any host work in the loop:
+    a [num_steps, batch] int32 table, one device transfer at startup.
+    """
+    needed = num_steps * batch_size
+    epochs = math.ceil(needed / num_samples)
+    perms = np.concatenate([rng.permutation(num_samples) for _ in range(epochs)])
+    return perms[:needed].astype(np.int32).reshape(num_steps, batch_size)
+
+
+class ClassificationTrainer:
+    def __init__(self, model: NNModel, class_count: int, algorithm_params: Dict[str, Any],
+                 scene, sample_set: SampleSet,
+                 augmentation_info: Optional[AugmentationInfo] = None,
+                 mesh=None, seed: int = 1234,
+                 log_dir: Optional[str] = None,
+                 save_checkpoint_steps: Optional[int] = None,
+                 test_cadence: int = 100,
+                 validation_cadence: Optional[int] = None,
+                 required_steps: Optional[int] = None,
+                 sources: Optional[Dict[str, Any]] = None,
+                 data_shape: Optional[list] = None):
+        from hypelcnn_tpu.data.importers import ScenePatchSource
+        self.model = model
+        self.class_count = class_count
+        self.algorithm_params = algorithm_params
+        self.scene = scene
+        if sources is None:
+            src = ScenePatchSource(scene)
+            sources = {"training": src, "test": src, "validation": src}
+        self.sources = sources
+        self._data_shape = data_shape
+        self.sample_set = sample_set
+        self.augmentation_info = augmentation_info or AugmentationInfo()
+        self.mesh = mesh or create_mesh()
+        self.rng_pool = RngPool(seed)
+        self.log_dir = log_dir
+        self.save_checkpoint_steps = save_checkpoint_steps
+        self.test_cadence = test_cadence
+        self.validation_cadence = validation_cadence
+        self.required_steps = required_steps
+
+        self.module = model.create_module(class_count, algorithm_params)
+        self.tx, self.schedule = build_optimizer(algorithm_params)
+        self.patch_size = (2 * scene.neighborhood + 1) if scene is not None \
+            else (self._data_shape[0] if self._data_shape else 1)
+
+        self._train_step = None
+        self._eval_step = None
+        self.history: list = []
+
+    # ---- setup ----
+
+    def init_state(self) -> TrainState:
+        shape = self.scene.get_data_shape() if self.scene is not None else self._data_shape
+        dummy = jnp.zeros((2, *shape), dtype=jnp.float32)
+        dummy_labels = jnp.zeros((2, self.class_count), dtype=jnp.float32)
+        # jit the whole init: eager init dispatches hundreds of tiny ops
+        init_fn = jax.jit(lambda rngs: self.module.init(
+            rngs, dummy, labels=dummy_labels, train=True))
+        variables = init_fn(
+            {"params": self.rng_pool.key("init"), "dropout": self.rng_pool.key("init-dropout")})
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState.create(params, batch_stats, self.tx)
+
+    # ---- jitted steps ----
+
+    def _build_train_chunk(self, coords_table, labels_table):
+        """A jitted multi-step training chunk.
+
+        One host dispatch runs ``chunk`` optimizer steps via ``lax.scan`` —
+        the whole hot loop (index lookup, window gather, augmentation,
+        forward/backward, update) lives on-device.  This is the TPU-native
+        replacement for the reference's per-step ``sess.run`` loop
+        (`classify/monitored_session_runner.py:182-184`).
+        """
+        module, model, tx = self.module, self.model, self.tx
+        aug_info = self.augmentation_info
+        class_count = self.class_count
+        source = self.sources["training"]
+
+        def one_step(state: TrainState, inp):
+            idx, step_no = inp
+            coords = jnp.take(coords_table, idx, axis=0)
+            label_ids = jnp.take(labels_table, idx, axis=0)
+            key = jax.random.fold_in(self._train_key_base, step_no)
+            gather_key, aug_key, drop_key = jax.random.split(key, 3)
+            patches = source.gather(idx, coords, key=gather_key)
+            patches = augment_batch(patches, aug_key, aug_info)
+            labels = jax.nn.one_hot(label_ids, class_count, dtype=jnp.float32)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                out, updates = module.apply(
+                    variables, patches, labels=labels, train=True,
+                    rngs={"dropout": drop_key},
+                    mutable=["batch_stats"] if state.batch_stats else [])
+                loss = jnp.mean(model.loss(out, labels))
+                new_stats = updates.get("batch_stats", state.batch_stats) if updates else state.batch_stats
+                return loss, new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            return TrainState(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt_state), loss
+
+        def chunk_fn(state: TrainState, idx_chunk, step_nos):
+            return jax.lax.scan(one_step, state, (idx_chunk, step_nos))
+
+        batch_sh3 = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(chunk_fn, donate_argnums=(0,),
+                       in_shardings=(None, batch_sh3, repl))
+
+    def _build_eval_step(self, split: str):
+        module = self.module
+        source = self.sources[split]
+
+        def eval_fn(params, batch_stats, idx, coords, label_ids, mask, confusion):
+            patches = source.gather(idx, coords)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = module.apply(variables, patches, train=False)
+            preds = jnp.argmax(out.y_conv, axis=1)
+            return confusion_update(confusion, label_ids, preds, mask)
+
+        return jax.jit(eval_fn)
+
+    # ---- evaluation drains ----
+
+    def evaluate(self, state: TrainState, split: str = "test",
+                 batch_size: int = 1024) -> MetricsResult:
+        """Drain a target split through eval batches, accumulate confusion,
+        compute OA/AA/kappa (reference ``calculate_accuracy``,
+        `common/common_nn_ops.py:295-310`)."""
+        if self._eval_step is None:
+            self._eval_step = {}
+        if split not in self._eval_step:
+            self._eval_step[split] = self._build_eval_step(split)
+        targets = {"training": self.sample_set.training_targets,
+                   "test": self.sample_set.test_targets,
+                   "validation": self.sample_set.validation_targets}[split]
+        n = targets.shape[0]
+        if n == 0:
+            return compute_metrics(np.zeros((self.class_count, self.class_count)))
+        confusion = jnp.zeros((self.class_count, self.class_count), dtype=jnp.int32)
+        coords_all = np.asarray(targets[:, :2], dtype=np.int32)
+        labels_all = np.asarray(targets[:, 2], dtype=np.int32)
+        for start in range(0, n, batch_size):
+            end = min(start + batch_size, n)
+            pad = batch_size - (end - start)
+            idx = np.pad(np.arange(start, end, dtype=np.int32), (0, pad))
+            coords = np.pad(coords_all[start:end], ((0, pad), (0, 0)))
+            labels = np.pad(labels_all[start:end], (0, pad))
+            mask = np.pad(np.ones(end - start, dtype=np.int32), (0, pad))
+            confusion = self._eval_step[split](state.params, state.batch_stats,
+                                               jnp.asarray(idx), jnp.asarray(coords),
+                                               jnp.asarray(labels),
+                                               jnp.asarray(mask), confusion)
+        return compute_metrics(np.asarray(confusion))
+
+    # ---- the training loop ----
+
+    def fit(self, num_steps: int, batch_size: int,
+            progress_callback: Optional[Callable[[int, float], None]] = None,
+            log_every: int = 100) -> TrainingResult:
+        state = self.init_state()
+
+        train = self.sample_set.training_targets
+        index_stream = make_epoch_index_stream(
+            train.shape[0], batch_size, num_steps, self.rng_pool.numpy_rng("epoch-shuffle"))
+        coords_table = jnp.asarray(train[:, :2].astype(np.int32))
+        labels_table = jnp.asarray(train[:, 2].astype(np.int32))
+        indices_dev = jnp.asarray(index_stream)
+        self._train_key_base = self.rng_pool.key("train", 0)
+        if self._train_step is None:
+            self._train_step = self._build_train_chunk(coords_table, labels_table)
+
+        # chunk boundary = smallest active cadence so hooks fire on time
+        cadences = [log_every, self.test_cadence]
+        if self.validation_cadence:
+            cadences.append(self.validation_cadence)
+        if self.save_checkpoint_steps:
+            cadences.append(self.save_checkpoint_steps)
+        chunk = max(1, math.gcd(*cadences)) if len(cadences) > 1 else cadences[0]
+        chunk = min(chunk, num_steps)
+
+        def crossed(cadence: int, start: int, end: int) -> bool:
+            return cadence and (end // cadence) > (start // cadence)
+
+        last_loss = float("nan")
+        nan_seen = False
+        t0 = time.time()
+        start = 0
+        while start < num_steps:
+            n = min(chunk, num_steps - start)
+            idx_chunk = jax.lax.slice_in_dim(indices_dev, start, start + n, axis=0)
+            step_nos = jnp.arange(start, start + n, dtype=jnp.uint32)
+            state, losses = self._train_step(state, idx_chunk, step_nos)
+            end = start + n
+
+            if crossed(log_every, start, end) or end == num_steps:
+                last_loss = float(losses[-1])
+                if math.isnan(last_loss) and not nan_seen:
+                    nan_seen = True
+                    print(f"[nan-guard] loss is NaN at step {end} (continuing, "
+                          f"parity with NanTensorHook(fail_on_nan_loss=False))")
+                if progress_callback:
+                    progress_callback(end, last_loss)
+
+            if crossed(self.test_cadence, start, end) and end != num_steps \
+                    and self.sample_set.test_targets.shape[0] > 0:
+                test_metrics = self.evaluate(state, "test")
+                self.history.append({"step": end, "loss": last_loss,
+                                     "test_oa": test_metrics.overall_accuracy})
+
+            if self.validation_cadence and crossed(self.validation_cadence, start, end) \
+                    and self.sample_set.validation_targets.shape[0] > 0:
+                val_metrics = self.evaluate(state, "validation")
+                self.history.append({"step": end, "val_oa": val_metrics.overall_accuracy,
+                                     "val_aa": val_metrics.mean_per_class_accuracy,
+                                     "val_kappa": val_metrics.kappa})
+
+            if self.save_checkpoint_steps and self.log_dir \
+                    and crossed(self.save_checkpoint_steps, start, end):
+                self.save_checkpoint(state)
+            start = end
+
+        elapsed = time.time() - t0
+        test_metrics = self.evaluate(state, "test") \
+            if self.sample_set.test_targets.shape[0] else None
+        val_metrics = self.evaluate(state, "validation") \
+            if self.sample_set.validation_targets.shape[0] else None
+
+        self.final_state = state
+        self.steps_per_sec = num_steps / elapsed if elapsed > 0 else float("inf")
+        return TrainingResult(
+            validation_accuracy=val_metrics.overall_accuracy if val_metrics else 0.0,
+            test_accuracy=test_metrics.overall_accuracy if test_metrics else 0.0,
+            loss=last_loss,
+            validation_metrics=val_metrics,
+            test_metrics=test_metrics,
+            history=self.history)
+
+    # ---- checkpointing (orbax; reference Saver semantics `:164-168`) ----
+
+    def save_checkpoint(self, state: TrainState) -> None:
+        from hypelcnn_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(self.log_dir, state)
+
+    def restore_checkpoint(self) -> Optional[TrainState]:
+        from hypelcnn_tpu.train.checkpoint import restore_checkpoint
+        template = self.init_state()
+        return restore_checkpoint(self.log_dir, template)

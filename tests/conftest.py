@@ -1,0 +1,39 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Sharded code paths are tested without TPU hardware by splitting the host
+CPU into 8 XLA devices — the JAX equivalent of a fake multi-node backend
+(SURVEY.md §4).  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the env var alone can be overridden by an ambient TPU plugin in this
+# environment; the config update is authoritative
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def synthetic_loader():
+    from hypelcnn_tpu.data.loaders.synthetic import SyntheticDataLoader
+    return SyntheticDataLoader("synthetic://?h=48&w=64&bands=12&classes=5&seed=3")
+
+
+@pytest.fixture(scope="session")
+def small_scene(synthetic_loader):
+    return synthetic_loader.load_data(neighborhood=1, normalize=True)
+
+
+@pytest.fixture(scope="session")
+def small_samples(synthetic_loader):
+    np.random.seed(0)
+    return synthetic_loader.load_samples(train_data_ratio=0.5, test_data_ratio=0.1)

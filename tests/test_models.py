@@ -1,0 +1,144 @@
+"""Golden shape/loss tests for each model family on fixed seeds (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypelcnn_tpu.models import CAPModel, CONCNNModel, DUALCNNModel, HYPELCNNModel
+from hypelcnn_tpu.ops.nn import local_response_normalization, scale_in_to_out, squash
+
+CLASSES = 5
+
+
+def init_and_apply(model, x, train, algorithm_params=None, labels=None):
+    params = {**model.default_params(), **(algorithm_params or {})}
+    module = model.create_module(CLASSES, params)
+    if labels is None:
+        labels = jax.nn.one_hot(jnp.zeros((x.shape[0],), jnp.int32), CLASSES)
+    variables = module.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                            x, labels=labels, train=train)
+    out, _ = module.apply(variables, x, labels=labels, train=train,
+                          rngs={"dropout": jax.random.key(2)},
+                          mutable=["batch_stats"])
+    return module, variables, out
+
+
+class TestHYPELCNN:
+    def test_forward_shapes_and_loss(self):
+        model = HYPELCNNModel()
+        x = jax.random.uniform(jax.random.key(3), (4, 3, 3, 12))
+        _, _, out = init_and_apply(model, x, train=True,
+                                   algorithm_params={"filter_count": 32})
+        assert out.y_conv.shape == (4, CLASSES)
+        assert out.image_output is not None
+        assert out.image_output.shape == (4, 3 * 3 * 12)
+        labels = jax.nn.one_hot(jnp.array([0, 1, 2, 3]), CLASSES)
+        loss = model.loss(out, labels)
+        assert loss.shape == (4,)
+        assert np.isfinite(np.asarray(loss)).all()
+
+    def test_eval_has_no_decoder(self):
+        model = HYPELCNNModel()
+        x = jax.random.uniform(jax.random.key(3), (2, 3, 3, 12))
+        _, _, out = init_and_apply(model, x, train=False,
+                                   algorithm_params={"filter_count": 32})
+        assert out.image_output is None
+        assert out.y_conv.shape == (2, CLASSES)
+
+    def test_no_residual_variant(self):
+        model = HYPELCNNModel()
+        x = jax.random.uniform(jax.random.key(3), (2, 1, 1, 8))
+        _, _, out = init_and_apply(model, x, train=False,
+                                   algorithm_params={"filter_count": 32, "use_residual": False})
+        assert out.y_conv.shape == (2, CLASSES)
+
+
+class TestDUALCNN:
+    def test_forward(self):
+        model = DUALCNNModel()
+        x = jax.random.uniform(jax.random.key(4), (3, 5, 5, 13))
+        _, _, out = init_and_apply(model, x, train=True,
+                                   algorithm_params={"filter_count": 64})
+        assert out.y_conv.shape == (3, CLASSES)
+        assert out.image_output is None
+
+    def test_1x1_patch_no_crop(self):
+        model = DUALCNNModel()
+        x = jax.random.uniform(jax.random.key(4), (2, 1, 1, 13))
+        _, _, out = init_and_apply(model, x, train=False,
+                                   algorithm_params={"filter_count": 64})
+        assert out.y_conv.shape == (2, CLASSES)
+
+
+class TestCONCNN:
+    def test_forward(self):
+        model = CONCNNModel()
+        x = jax.random.uniform(jax.random.key(5), (2, 5, 5, 9))
+        _, _, out = init_and_apply(model, x, train=True,
+                                   algorithm_params={"filter_count": 16})
+        assert out.y_conv.shape == (2, CLASSES)
+
+
+class TestCAP:
+    def test_forward_and_decoder(self):
+        model = CAPModel()
+        x = jax.random.uniform(jax.random.key(6), (2, 3, 3, 9))
+        labels = jax.nn.one_hot(jnp.array([1, 2]), CLASSES)
+        _, _, out = init_and_apply(model, x, train=True,
+                                   algorithm_params={"feature_count": 16,
+                                                     "primary_capsule_count": 4},
+                                   labels=labels)
+        assert out.y_conv.shape == (2, CLASSES)
+        assert out.image_output is not None
+        assert out.image_output.shape == (2, 3 * 3 * 9)
+        # capsule norms are non-negative
+        assert np.all(np.asarray(out.y_conv) >= 0)
+
+    def test_eval_no_decoder(self):
+        model = CAPModel()
+        x = jax.random.uniform(jax.random.key(6), (2, 1, 1, 9))
+        _, _, out = init_and_apply(model, x, train=False,
+                                   algorithm_params={"feature_count": 16,
+                                                     "primary_capsule_count": 4})
+        assert out.image_output is None
+
+
+class TestOps:
+    def test_scale_in_to_out_repeat(self):
+        x = jnp.arange(6, dtype=jnp.float32).reshape(1, 1, 1, 6)
+        out_ref = jnp.zeros((1, 1, 1, 12))
+        r = scale_in_to_out(x, out_ref, axis=-1)
+        assert r.shape[-1] == 12
+        np.testing.assert_allclose(np.asarray(r[0, 0, 0, :2]), [0, 0])
+
+    def test_scale_in_to_out_gather(self):
+        x = jnp.arange(10, dtype=jnp.float32).reshape(1, 10)
+        out_ref = jnp.zeros((1, 3))
+        r = scale_in_to_out(x, out_ref, axis=-1)
+        # nearest index: round(i * 10/3) -> 0, 3, 7
+        np.testing.assert_allclose(np.asarray(r)[0], [0, 3, 7])
+
+    def test_scale_in_to_out_identity(self):
+        x = jnp.ones((2, 4))
+        assert scale_in_to_out(x, jnp.zeros((2, 4)), axis=-1) is x
+
+    def test_lrn_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(2, 3, 3, 16)).astype(np.float32)
+        got = np.asarray(local_response_normalization(jnp.asarray(x)))
+        # brute force TF semantics
+        expected = np.empty_like(x)
+        r, bias, alpha, beta = 5, 1.0, 1.0, 0.5
+        for c in range(16):
+            lo, hi = max(0, c - r), min(16, c + r + 1)
+            s = (x[..., lo:hi] ** 2).sum(axis=-1)
+            expected[..., c] = x[..., c] / np.power(bias + alpha * s, beta)
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    def test_squash_mean_variant(self):
+        s = jnp.array([[3.0, 4.0]])
+        v = np.asarray(squash(s))
+        norm_sq = (9 + 16) / 2
+        expected = norm_sq * np.array([3.0, 4.0]) / ((1 + norm_sq) * np.sqrt(norm_sq + 1e-9))
+        np.testing.assert_allclose(v[0], expected, rtol=1e-6)
