@@ -105,6 +105,11 @@ class HYPELCNNModule(nn.Module):
         level_filters = x.shape[-1] // 2
         for index in range(p["spatial_hierarchy_level"]):
             feat = level_filters // (2 ** index)
+            if feat == 0:
+                raise ValueError(
+                    f"filter_count={p['filter_count']} too small for "
+                    f"spatial_hierarchy_level={p['spatial_hierarchy_level']} "
+                    f"(level {index} would have 0 filters)")
             patch = x.shape[1]
             elements = []
             for k in range(1, patch + 1, 2):
