@@ -1,0 +1,88 @@
+"""GAN loss functions.
+
+Replaces the tensorflow-gan tuple-loss machinery the reference leans on:
+- least-squares (LSGAN) generator/discriminator losses — the default for
+  CycleGAN (tfgan `cyclegan_loss`) and explicit for CUT
+  (`gan/wrappers/cut_wrapper.py:629-630`),
+- wasserstein losses — the tfgan `gan_loss` default used by the vanilla
+  GANWrapper (`gan/wrappers/gan_wrapper.py:49-57`),
+- cycle-consistency + identity L1 terms
+  (`gan/wrappers/cycle_gan_wrapper.py:189-255,323-333`),
+- the CUT patchwise-NCE contrastive losses: cross-feature logits / tau with
+  identity-matrix labels, flattened softmax CE
+  (`gan/wrappers/cut_wrapper.py:359-420`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---- adversarial pairs ----
+
+def least_squares_generator_loss(disc_gen_outputs: jax.Array,
+                                 real_label: float = 1.0) -> jax.Array:
+    return 0.5 * jnp.mean(jnp.square(disc_gen_outputs - real_label))
+
+
+def least_squares_discriminator_loss(disc_real_outputs: jax.Array,
+                                     disc_gen_outputs: jax.Array,
+                                     real_label: float = 1.0,
+                                     fake_label: float = 0.0) -> jax.Array:
+    loss_real = jnp.mean(jnp.square(disc_real_outputs - real_label))
+    loss_gen = jnp.mean(jnp.square(disc_gen_outputs - fake_label))
+    return 0.5 * (loss_real + loss_gen)
+
+
+def wasserstein_generator_loss(disc_gen_outputs: jax.Array) -> jax.Array:
+    return -jnp.mean(disc_gen_outputs)
+
+
+def wasserstein_discriminator_loss(disc_real_outputs: jax.Array,
+                                   disc_gen_outputs: jax.Array) -> jax.Array:
+    return jnp.mean(disc_gen_outputs) - jnp.mean(disc_real_outputs)
+
+
+# ---- auxiliary reconstruction terms ----
+
+def cycle_consistency_loss(x: jax.Array, reconstructed_x: jax.Array,
+                           y: jax.Array, reconstructed_y: jax.Array) -> jax.Array:
+    """tfgan cycle_consistency_loss: mean |G(F(x)) - x| + mean |F(G(y)) - y|."""
+    return jnp.mean(jnp.abs(reconstructed_x - x)) + jnp.mean(jnp.abs(reconstructed_y - y))
+
+
+def identity_loss(inputs: jax.Array, identity_mapped: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(identity_mapped - inputs))
+
+
+# ---- CUT contrastive (NCE) losses ----
+
+def nce_loss(query_feats: jax.Array, key_feats: jax.Array, tau: float) -> jax.Array:
+    """Patchwise NCE (reference `_calc_cross_feats` +
+    `_contrastive_gen_data_x_loss_impl`, `gan/wrappers/cut_wrapper.py:359-393`).
+
+    ``query_feats``/``key_feats``: [B, P, E] patch embeddings.  Logits are the
+    [P, P] cross-similarities / tau; labels the identity matrix, both
+    flattened to length P*P as in the reference (softmax over ALL P*P
+    entries, labels summing to P — quirk preserved); reduced by mean over
+    the batch.
+    """
+    logits = jnp.einsum("bpe,bqe->bpq", query_feats, key_feats,
+                        preferred_element_type=jnp.float32) / tau
+    batch, p, q = logits.shape
+    labels = jnp.eye(p, q, dtype=jnp.float32).reshape(1, p * q)
+    flat_logits = logits.reshape(batch, p * q)
+    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
+    per_example = -(labels * log_probs).sum(axis=-1)
+    return jnp.mean(per_example)
+
+
+def l2_regularization(params, scale: float) -> jax.Array:
+    """Sum of 0.5*scale*||w||^2 over kernel params (tf-slim l2_regularizer
+    semantics: ``scale * 0.5 * l2norm(w)^2``)."""
+    leaves = [p for path, p in jax.tree_util.tree_leaves_with_path(params)
+              if path and getattr(path[-1], "key", "") == "kernel"]
+    if not leaves:
+        return jnp.zeros(())
+    return scale * 0.5 * sum(jnp.sum(jnp.square(w)) for w in leaves)

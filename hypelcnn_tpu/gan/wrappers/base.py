@@ -1,0 +1,144 @@
+"""Shared GAN training infrastructure.
+
+Replaces the reference's tfgan scaffolding (namedtuple models, scope-reuse
+crutches, RunTrainOpsHooks — `gan/wrappers/cut_wrapper.py:48-87,467-584`)
+with explicit param pytrees and ONE jitted train step per family that runs
+the sub-network updates sequentially, exactly like the reference's
+sequential hooks (G, then D, then featD — each seeing the previous update's
+new parameters).
+
+LR schedule: constant for the first half of training, then linear decay to
+zero (reference ``_get_lr``, `gan/wrappers/gan_common.py:222-244`).
+Optimizers: Adam(beta1=0.5) (`:264-265`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def gan_lr_schedule(base_lr: float, max_steps: int) -> Callable:
+    """Constant-then-linear-decay (reference `gan/wrappers/gan_common.py:222-244`)."""
+    half = max_steps // 2
+    decay_steps = max(max_steps - half, 1)
+
+    def schedule(count):
+        frac = jnp.clip((count - half) / decay_steps, 0.0, 1.0)
+        return jnp.where(count < half, base_lr, base_lr * (1.0 - frac))
+    return schedule
+
+
+def gan_adam(base_lr: float, max_steps: int) -> optax.GradientTransformation:
+    return optax.adam(gan_lr_schedule(base_lr, max_steps), b1=0.5, b2=0.999, eps=1e-8)
+
+
+@flax.struct.dataclass
+class PoolState:
+    """Element-granular history pool of generated samples for discriminator
+    training (tfgan ``tensor_pool`` role, used by the vanilla and CycleGAN
+    wrappers, `gan/wrappers/gan_wrapper.py:56` /
+    `cycle_gan_wrapper.py:98,106`)."""
+    buffer: jax.Array        # [pool_size, ...]
+    inputs_buffer: jax.Array
+    count: jax.Array         # filled slots
+
+    @classmethod
+    def create(cls, pool_size: int, element_shape, dtype=jnp.float32) -> "PoolState":
+        return cls(buffer=jnp.zeros((pool_size, *element_shape), dtype=dtype),
+                   inputs_buffer=jnp.zeros((pool_size, *element_shape), dtype=dtype),
+                   count=jnp.zeros((), dtype=jnp.int32))
+
+
+def pool_apply(pool: PoolState, gen_data: jax.Array, gen_inputs: jax.Array,
+               key: jax.Array):
+    """tfgan tensor_pool semantics, vectorized: while filling, pass through
+    and store; once full, each element is swapped with a random pool entry
+    with probability 0.5."""
+    p = pool.buffer.shape[0]
+    b = gen_data.shape[0]
+    k1, k2 = jax.random.split(key)
+    slots = jax.random.randint(k1, (b,), 0, p)
+    swap = jax.random.bernoulli(k2, 0.5, (b,)) & (pool.count >= p)
+    bshape = (b,) + (1,) * (gen_data.ndim - 1)
+    swap_b = swap.reshape(bshape)
+
+    out_data = jnp.where(swap_b, pool.buffer[slots], gen_data)
+    out_inputs = jnp.where(swap_b, pool.inputs_buffer[slots], gen_inputs)
+    new_buffer = pool.buffer.at[slots].set(
+        jnp.where(swap_b, gen_data, pool.buffer[slots]))
+    new_inputs = pool.inputs_buffer.at[slots].set(
+        jnp.where(swap_b, gen_inputs, pool.inputs_buffer[slots]))
+
+    # fill phase: append into slots count..count+b-1 (mod pool size)
+    fill_pos = (pool.count + jnp.arange(b)) % p
+    fill_mask = ((pool.count + jnp.arange(b)) < p).reshape(bshape)
+    new_buffer = new_buffer.at[fill_pos].set(
+        jnp.where(fill_mask, gen_data, new_buffer[fill_pos]))
+    new_inputs = new_inputs.at[fill_pos].set(
+        jnp.where(fill_mask, gen_inputs, new_inputs[fill_pos]))
+
+    new_pool = PoolState(buffer=new_buffer, inputs_buffer=new_inputs,
+                         count=jnp.minimum(pool.count + b, p))
+    return new_pool, out_data, out_inputs
+
+
+@flax.struct.dataclass
+class GANState:
+    step: jax.Array
+    params: Dict[str, Any]
+    opt_states: Dict[str, Any]
+    pool: Optional[Any] = None
+
+
+def apply_update(tx: optax.GradientTransformation, grads, opt_state, params):
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), new_opt_state
+
+
+class GANTrainerBase:
+    """Common surface: ``init_state``, jitted ``train_step``, ``translate``.
+
+    ``translate(params, x, is_shadow)`` maps a ``[B, 1, 1, bands]`` (or
+    ``[B, k, k, bands]``) batch through the trained generator — the rebuild
+    of the reference's per-cell inference graph
+    (`gan/wrappers/gan_common.py:282-304`): the generator operates per-pixel,
+    so a k x k patch is just batched over its cells.
+    """
+
+    name: str = "gan"
+
+    def __init__(self, band_count: int, config: Dict[str, Any], max_steps: int):
+        self.band_count = band_count
+        self.config = dict(config)
+        self.max_steps = max_steps
+        self._train_step = None
+
+    # subclasses implement
+    def init_state(self, key: jax.Array) -> GANState:
+        raise NotImplementedError
+
+    def build_train_step(self):
+        raise NotImplementedError
+
+    def translate(self, params, x: jax.Array, is_shadow: bool) -> jax.Array:
+        raise NotImplementedError
+
+    def train_step(self, state: GANState, x: jax.Array, y: jax.Array, key: jax.Array):
+        if self._train_step is None:
+            self._train_step = jax.jit(self.build_train_step(), donate_argnums=(0,))
+        return self._train_step(state, x, y, key)
+
+
+def translate_patch(generator_apply, x: jax.Array) -> jax.Array:
+    """Apply a per-pixel spectral generator to every cell of [B, k, k, bands]
+    by folding the spatial cells into the batch (replaces the reference's
+    Python double loop, `gan/wrappers/gan_common.py:282-304`)."""
+    b, h, w, c = x.shape
+    flat = x.reshape(b * h * w, 1, 1, c)
+    out = generator_apply(flat)
+    return out.reshape(b, h, w, c)
