@@ -288,11 +288,23 @@ class ClassificationTrainer:
                 self.history.append({"step": end, "val_oa": val_metrics.overall_accuracy,
                                      "val_aa": val_metrics.mean_per_class_accuracy,
                                      "val_kappa": val_metrics.kappa})
+                if self.log_dir:
+                    os.makedirs(self.log_dir, exist_ok=True)
+                    np.savetxt(os.path.join(self.log_dir, f"validation_confusion_{end}.csv"),
+                               val_metrics.confusion, fmt="%d", delimiter=",")
 
             if self.save_checkpoint_steps and self.log_dir \
                     and crossed(self.save_checkpoint_steps, start, end):
                 self.save_checkpoint(state)
             start = end
+
+        if self.save_checkpoint_steps and self.log_dir:
+            self.save_checkpoint(state)  # final save (MonitoredTrainingSession parity)
+        if self.log_dir and self.history:
+            os.makedirs(self.log_dir, exist_ok=True)
+            with open(os.path.join(self.log_dir, "history.jsonl"), "w", encoding="utf-8") as fid:
+                for rec in self.history:
+                    fid.write(json.dumps(rec) + "\n")
 
         elapsed = time.time() - t0
         test_metrics = self.evaluate(state, "test") \

@@ -1,0 +1,166 @@
+"""Integration tests: training loop, importers, metrics, checkpointing,
+full-scene inference — on the 8-device virtual CPU mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hypelcnn_tpu.core.registry import get_importer_from_name
+from hypelcnn_tpu.data.augmentation import AugmentationInfo
+from hypelcnn_tpu.models import CONCNNModel
+from hypelcnn_tpu.parallel.mesh import create_mesh
+from hypelcnn_tpu.train.metrics import compute_metrics, confusion_update
+from hypelcnn_tpu.train.trainer import ClassificationTrainer, make_epoch_index_stream
+
+PARAMS = {"batch_size": 16, "drop_out_ratio": 0.5, "learning_rate": 1e-3,
+          "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+          "filter_count": 8, "optimizer": "AdamOptimizer", "compute_dtype": "float32"}
+
+
+def make_trainer(synthetic_loader, importer_name="GeneratorImporter", **kw):
+    importer = get_importer_from_name(importer_name)
+    data = importer.read_data_set("SyntheticDataLoader",
+                                  "synthetic://?h=48&w=64&bands=12&classes=5&seed=3",
+                                  train_ratio=0.5, test_ratio=0.1, neighborhood=1)
+    trainer = ClassificationTrainer(
+        model=CONCNNModel(), class_count=data.class_count, algorithm_params=PARAMS,
+        scene=data.scene, sample_set=data.sample_set,
+        sources=data.sources, data_shape=data.data_shape,
+        mesh=create_mesh(), **kw)
+    return trainer, data
+
+
+class TestMetrics:
+    def test_confusion_update_masked(self):
+        import jax.numpy as jnp
+        conf = jnp.zeros((3, 3), dtype=jnp.int32)
+        labels = jnp.array([0, 1, 2, 0])
+        preds = jnp.array([0, 1, 1, 2])
+        mask = jnp.array([1, 1, 1, 0])
+        conf = confusion_update(conf, labels, preds, mask)
+        expected = np.array([[1, 0, 0], [0, 1, 0], [0, 1, 0]])
+        np.testing.assert_array_equal(np.asarray(conf), expected)
+
+    def test_compute_metrics_vs_sklearn(self):
+        from sklearn.metrics import balanced_accuracy_score, cohen_kappa_score, confusion_matrix
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 4, 500)
+        preds = np.where(rng.random(500) < 0.7, labels, rng.integers(0, 4, 500))
+        conf = confusion_matrix(labels, preds, labels=range(4))
+        res = compute_metrics(conf)
+        assert res.overall_accuracy == pytest.approx((labels == preds).mean())
+        assert res.kappa == pytest.approx(cohen_kappa_score(labels, preds), abs=1e-10)
+        assert res.mean_per_class_accuracy == pytest.approx(
+            balanced_accuracy_score(labels, preds), abs=1e-10)
+
+    def test_epoch_index_stream_covers_epoch(self):
+        rng = np.random.default_rng(0)
+        stream = make_epoch_index_stream(10, 2, 5, rng)
+        assert stream.shape == (5, 2)
+        assert sorted(stream.reshape(-1).tolist()) == list(range(10))
+
+
+class TestTraining:
+    def test_learns_synthetic(self, synthetic_loader):
+        np.random.seed(0)
+        trainer, data = make_trainer(synthetic_loader)
+        result = trainer.fit(num_steps=60, batch_size=16, log_every=20)
+        assert np.isfinite(result.loss)
+        assert result.test_accuracy > 0.5  # separable classes learn fast
+
+    def test_in_memory_importer_matches_scene_gather(self, synthetic_loader):
+        np.random.seed(0)
+        importer = get_importer_from_name("InMemoryImporter")
+        data = importer.read_data_set("SyntheticDataLoader",
+                                      "synthetic://?h=48&w=64&bands=12&classes=5&seed=3",
+                                      train_ratio=0.5, test_ratio=0.1, neighborhood=1)
+        import jax.numpy as jnp
+        idx = jnp.arange(4)
+        got = data.sources["training"].gather(idx, None)
+        targets = data.sample_set.training_targets
+        for i in range(4):
+            expected = data.scene.get_data_point(int(targets[i, 0]), int(targets[i, 1]))
+            np.testing.assert_allclose(np.asarray(got[i]), expected, rtol=1e-6)
+
+    def test_augmented_training_runs(self, synthetic_loader):
+        np.random.seed(0)
+        trainer, _ = make_trainer(synthetic_loader)
+        trainer.augmentation_info = AugmentationInfo(
+            perform_rotation_augmentation=True,
+            perform_reflection_augmentation=True,
+            perform_spectral_augmentation=0.01)
+        result = trainer.fit(num_steps=20, batch_size=16, log_every=10)
+        assert np.isfinite(result.loss)
+
+    def test_simple_shadow_augmentation(self, synthetic_loader):
+        from hypelcnn_tpu.gan.shadow_ops import build_shadow_creators
+        np.random.seed(0)
+        trainer, data = make_trainer(synthetic_loader)
+        creators = build_shadow_creators(data.loader, data.scene, neighborhood=1)
+        assert "simple" in creators
+        trainer.augmentation_info = AugmentationInfo(
+            shadow_struct=creators["simple"],
+            perform_shadow_augmentation=True,
+            augmentation_random_threshold=0.5)
+        result = trainer.fit(num_steps=20, batch_size=16, log_every=10)
+        assert np.isfinite(result.loss)
+
+    def test_checkpoint_roundtrip(self, synthetic_loader, tmp_path):
+        np.random.seed(0)
+        trainer, _ = make_trainer(synthetic_loader, log_dir=str(tmp_path),
+                                  save_checkpoint_steps=10)
+        trainer.fit(num_steps=10, batch_size=16, log_every=10)
+        restored = trainer.restore_checkpoint()
+        assert restored is not None
+        assert int(restored.step) == 10
+        leaves = jax.tree_util.tree_leaves(restored.params)
+        orig = jax.tree_util.tree_leaves(trainer.final_state.params)
+        for a, b in zip(leaves, orig):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_record_importer_roundtrip(self, tmp_path):
+        from hypelcnn_tpu.utils.record_writer import write_records
+        np.random.seed(0)
+        cache = write_records("SyntheticDataLoader",
+                              "synthetic://?h=32&w=32&bands=6&classes=3",
+                              train_ratio=0.5, test_ratio=0.1, neighborhood=1,
+                              output_path=str(tmp_path))
+        importer = get_importer_from_name("RecordImporter")
+        data = importer.read_data_set(None, cache, None, None, None)
+        assert data.class_count == 3
+        assert data.data_shape == [3, 3, 7]
+        assert data.sample_set.training_targets.shape[0] > 0
+        import jax.numpy as jnp
+        patches = data.sources["training"].gather(jnp.arange(2), None)
+        assert patches.shape[1:] == (3, 3, 7)
+
+
+class TestInference:
+    def test_full_scene_sweep_matches_target_predict(self, synthetic_loader):
+        from hypelcnn_tpu.infer.scene_inference import predict_full_scene, predict_targets
+        np.random.seed(0)
+        trainer, data = make_trainer(synthetic_loader)
+        trainer.fit(num_steps=30, batch_size=16, log_every=30)
+        state = trainer.final_state
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        scene_map = predict_full_scene(trainer.module, variables, data.scene, batch_rows=16)
+        h, w = data.scene.get_scene_shape()
+        assert scene_map.shape == (h, w)
+        # spot-check against per-target prediction
+        targets = data.sample_set.test_targets[:20].astype(np.int32)
+        preds = predict_targets(trainer.module, variables, data.scene, targets,
+                                batch_size=32)
+        np.testing.assert_array_equal(scene_map[targets[:, 1], targets[:, 0]], preds)
+
+    def test_colored_image(self):
+        from hypelcnn_tpu.infer.scene_inference import create_colored_image
+        img = np.array([[0, 1], [255, 2]], dtype=np.uint8)
+        colors = np.array([[10, 0, 0], [0, 10, 0], [0, 0, 10]], dtype=np.uint8)
+        out = create_colored_image(img, colors)
+        assert out.shape == (2, 2, 3)
+        np.testing.assert_array_equal(out[0, 0], [10, 0, 0])
+        np.testing.assert_array_equal(out[1, 0], [0, 0, 0])  # invalid -> black

@@ -1,0 +1,193 @@
+"""Utility-layer tests: stat extraction, kappa, latex tables, RGB render,
+hyperparameter search, tiff io, config system."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hypelcnn_tpu.core.config import (
+    add_parse_cmds_for_loaders,
+    add_parse_cmds_for_trainers,
+    load_algorithm_params,
+    merge_flag_config_json,
+    type_ensure_strtobool,
+)
+from hypelcnn_tpu.utils.hsi_rgb import get_rgb_from_hsi
+from hypelcnn_tpu.utils.stat_extractor import (
+    calc_kappa,
+    calc_mean_quadratic_weighted_kappa,
+    extract_accuracy_metrics,
+    extract_statistics_info,
+)
+from hypelcnn_tpu.utils.text import is_integer_num, path_leaf, replace_abbrs
+from hypelcnn_tpu.utils.tiff_io import imread, imwrite
+
+
+class TestConfig:
+    def test_flag_defaults_match_reference(self):
+        parser = argparse.ArgumentParser()
+        add_parse_cmds_for_loaders(parser)
+        add_parse_cmds_for_trainers(parser)
+        flags, _ = parser.parse_known_args([])
+        assert flags.batch_size == 20
+        assert flags.step == 50000
+        assert flags.neighborhood == 0
+        assert flags.test_ratio == 0.05
+        assert flags.train_ratio == 0.10
+        assert flags.loader_name == "GRSS2013DataLoader"
+
+    def test_strtobool(self):
+        assert type_ensure_strtobool("true") is True
+        assert type_ensure_strtobool("0") is False
+        with pytest.raises(ValueError):
+            type_ensure_strtobool("maybe")
+
+    def test_json_merge(self, tmp_path):
+        from types import SimpleNamespace
+        cfg = tmp_path / "cfg.json"
+        cfg.write_text(json.dumps({"batch_size": 99, "extra": "x"}))
+        flags = SimpleNamespace(batch_size=20, step=100)
+        merged = merge_flag_config_json(flags, str(cfg))
+        assert merged.batch_size == 99 and merged.step == 100 and merged.extra == "x"
+
+    def test_algorithm_params_overlay(self, tmp_path):
+        p = tmp_path / "alg.json"
+        p.write_text(json.dumps({"learning_rate": 0.5}))
+        params = load_algorithm_params({"learning_rate": 1e-3, "bn_decay": 0.95}, str(p))
+        assert params["learning_rate"] == 0.5 and params["bn_decay"] == 0.95
+
+
+class TestText:
+    def test_path_leaf(self):
+        assert path_leaf("/a/b/c.json") == "c.json"
+        assert path_leaf(None) == ""
+
+    def test_replace_abbrs(self):
+        assert replace_abbrs("model_dataloader", {"model": "mdl", "dataloader": "ldr"}) \
+            == "mdl_ldr"
+
+    def test_is_integer_num(self):
+        assert is_integer_num(3) and is_integer_num(3.0) and not is_integer_num(3.5)
+
+
+class TestStatExtractor:
+    def test_kappa_matches_sklearn(self):
+        from sklearn.metrics import cohen_kappa_score, confusion_matrix
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 3, 400)
+        b = np.where(rng.random(400) < 0.8, a, rng.integers(0, 3, 400))
+        conf = confusion_matrix(a, b)
+        assert calc_kappa(conf) == pytest.approx(cohen_kappa_score(a, b), abs=1e-10)
+
+    def test_fisher_mean_kappa(self):
+        assert calc_mean_quadratic_weighted_kappa([0.5, 0.5]) == pytest.approx(0.5, abs=1e-6)
+
+    def test_extract_metrics(self):
+        conf = np.array([[8, 2], [1, 9]])
+        oa, aa, kappa, counts = extract_accuracy_metrics(conf)
+        assert oa == pytest.approx(0.85)
+        np.testing.assert_allclose(aa, [0.8, 0.9])
+        np.testing.assert_array_equal(counts, [10, 10])
+
+    def test_statistics_info(self, tmp_path):
+        conf = np.array([[8, 2], [1, 9]])
+        holder = extract_statistics_info([conf, conf])
+        assert holder.oa_array.shape == (2,)
+        np.testing.assert_allclose(holder.oa_array, 0.85)
+
+
+class TestLatexTable:
+    def test_build_table(self, tmp_path):
+        from hypelcnn_tpu.utils.latex_table import build_table
+        d1, d2 = tmp_path / "m1", tmp_path / "m2"
+        d1.mkdir(), d2.mkdir()
+        np.savetxt(d1 / "c0.csv", np.array([[9, 1], [1, 9]]), fmt="%d", delimiter=",")
+        np.savetxt(d2 / "c0.csv", np.array([[5, 5], [5, 5]]), fmt="%d", delimiter=",")
+        table = build_table({"good": str(d1), "bad": str(d2)})
+        assert "\\textbf" in table and "OA" in table and "Kappa" in table
+        # the better method's OA row cell should be bold
+        oa_line = [line for line in table.splitlines() if line.startswith("OA")][0]
+        assert "\\textbf{90.00" in oa_line
+
+
+class TestHsiRgb:
+    def test_rgb_shape_and_range(self):
+        bands = np.linspace(380, 1050, 40)
+        hsi = np.random.default_rng(0).uniform(0, 1, (8, 9, 40))
+        rgb = get_rgb_from_hsi(bands, hsi)
+        assert rgb.shape == (8, 9, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+
+    def test_pure_green_spectrum(self):
+        # energy only near 550nm -> green dominant
+        bands = np.linspace(400, 700, 31)
+        hsi = np.zeros((1, 1, 31))
+        hsi[0, 0, 15] = 1.0  # ~550nm
+        rgb = get_rgb_from_hsi(bands, hsi)
+        assert rgb[0, 0, 1] > rgb[0, 0, 2]  # green > blue
+
+
+class TestTiffIO:
+    def test_multiband_roundtrip(self, tmp_path):
+        arr = np.random.default_rng(0).uniform(0, 100, (6, 7, 9)).astype(np.float32)
+        path = str(tmp_path / "x.tif")
+        imwrite(path, arr)
+        back = imread(path)
+        np.testing.assert_allclose(back, arr)
+
+    def test_npy_fallback(self, tmp_path):
+        from hypelcnn_tpu.utils.tiff_io import find_scene_file
+        arr = np.ones((3, 3), dtype=np.uint8)
+        np.save(str(tmp_path / "scene.npy"), arr)
+        found = find_scene_file(str(tmp_path / "scene.tif"))
+        assert found.endswith(".npy")
+        np.testing.assert_array_equal(imread(found), arr)
+
+
+class TestSearch:
+    def test_search_space_grammar(self):
+        from hypelcnn_tpu.tune.search import Study, Trial, apply_search_space
+        study = Study("t", seed=0)
+        trial = Trial(study, 0)
+        params = apply_search_space(trial, {"fixed_before": 1}, {
+            "lr": {"min": 1e-5, "max": 1e-1, "log": True},
+            "count": {"min": 1, "max": 5},
+            "choice": ["a", "b"],
+            "pinned": 42,
+        })
+        assert 1e-5 <= params["lr"] <= 1e-1
+        assert 1 <= params["count"] <= 5 and isinstance(params["count"], int)
+        assert params["choice"] in ("a", "b")
+        assert params["pinned"] == 42
+
+    def test_study_optimizes_toward_minimum(self, tmp_path):
+        from hypelcnn_tpu.tune.search import Study, apply_search_space
+        study = Study("quad", direction="minimize",
+                      storage=f"sqlite:///{tmp_path}/s.db", seed=0)
+
+        def objective(trial):
+            x = trial.suggest_float("x", -5.0, 5.0)
+            return (x - 2.0) ** 2
+
+        study.optimize(objective, n_trials=30)
+        assert abs(study.best_params["x"] - 2.0) < 1.5
+        # persistence roundtrip
+        study2 = Study("quad", storage=f"sqlite:///{tmp_path}/s.db")
+        assert len(study2.trials) == 30
+
+    def test_objective_runner(self):
+        from hypelcnn_tpu.tune.search import Study, Trial, objective
+        study = Study("runner", seed=0)
+        trial = Trial(study, 0)
+        calls = []
+
+        def func(params, base_log_path):
+            calls.append(base_log_path)
+            return [0.25, 0.75]
+
+        value = objective(trial, {}, {}, func, opt_run_count=2, base_log_path="/tmp/x")
+        assert value == 0.5
+        assert len(calls) == 2 and calls[0] != calls[1]
