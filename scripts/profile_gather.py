@@ -1,0 +1,40 @@
+"""Microbenchmark: XLA vs Pallas window gather + train-step breakdown on TPU."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypelcnn_tpu.ops.window_gather import gather_patches_pallas, gather_patches_xla
+
+
+def timeit(fn, *args, n=50):
+    fn(*args).block_until_ready()  # compile
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    out.block_until_ready()
+    return (time.time() - t0) / n
+
+
+def main():
+    rng = np.random.default_rng(0)
+    for (h, w, c, k, b) in [(349, 1905, 145, 3, 512), (349, 1905, 145, 5, 512),
+                            (601, 2384, 49, 7, 512), (349, 1905, 145, 3, 4096)]:
+        scene = jnp.asarray(rng.uniform(size=(h + k - 1, w + k - 1, c)).astype(np.float32))
+        coords = jnp.asarray(
+            np.stack([rng.integers(0, w, b), rng.integers(0, h, b)], 1).astype(np.int32))
+        t_xla = timeit(jax.jit(lambda s, co: gather_patches_xla(s, co, k)), scene, coords)
+        t_pal = timeit(lambda s, co: gather_patches_pallas(s, co, k), scene, coords)
+        bytes_moved = b * k * k * c * 4
+        print(f"scene {h}x{w}x{c} k={k} B={b}: xla={t_xla*1e6:.0f}us "
+              f"({bytes_moved/t_xla/1e9:.1f} GB/s) pallas={t_pal*1e6:.0f}us "
+              f"({bytes_moved/t_pal/1e9:.1f} GB/s)")
+
+
+if __name__ == "__main__":
+    main()
