@@ -60,10 +60,11 @@ def main() -> None:
     state = trainer.init_state()
 
     chunk = 50
+    arrays = trainer.sources["training"].device_arrays()
     idx = jnp.asarray(np.random.randint(0, train.shape[0],
                                         size=(chunk, batch_size)).astype(np.int32))
     step_nos = jnp.arange(chunk, dtype=jnp.uint32)
-    state, losses = step_fn(state, idx, step_nos)  # compile + warm
+    state, losses = step_fn(state, arrays, idx, step_nos)  # compile + warm
     losses.block_until_ready()
 
     # median over measurement windows: the shared-chip environment has rare
@@ -71,7 +72,7 @@ def main() -> None:
     windows = []
     for _ in range(10):
         t0 = time.time()
-        state, losses = step_fn(state, idx, step_nos)
+        state, losses = step_fn(state, arrays, idx, step_nos)
         losses.block_until_ready()
         windows.append(time.time() - t0)
     elapsed = float(np.median(windows))

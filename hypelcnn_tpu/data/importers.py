@@ -36,9 +36,18 @@ from hypelcnn_tpu.data.loaders.base import SampleSet
 
 
 class PatchSource:
-    """Jittable patch access for one split."""
+    """Jittable patch access for one split.
 
-    def gather(self, idx: jax.Array, coords: jax.Array,
+    The backing device arrays are exposed via :meth:`device_arrays` and
+    passed explicitly into the jitted step (``gather(arrays, ...)``) —
+    closing over a large concrete array would bake it into the compiled
+    program as a literal constant (hundreds of MB for a real scene).
+    """
+
+    def device_arrays(self):
+        raise NotImplementedError
+
+    def gather(self, arrays, idx: jax.Array, coords: jax.Array,
                key: Optional[jax.Array] = None) -> jax.Array:
         raise NotImplementedError
 
@@ -46,26 +55,44 @@ class PatchSource:
 class ScenePatchSource(PatchSource):
     def __init__(self, scene):
         self.scene = scene
-        # materialize the device-resident scene eagerly — inside a jit trace
-        # the cached array would be a tracer and leak out of the trace
-        scene.warm_cache()
+        self._kind = type(scene).__name__
 
-    def gather(self, idx, coords, key=None):
+    def device_arrays(self):
+        from hypelcnn_tpu.data.scene import DualResScene, MultiScene
+        if isinstance(self.scene, MultiScene):
+            return self.scene.device_scenes()
+        if isinstance(self.scene, DualResScene):
+            return self.scene.device_modalities()
+        return self.scene.device_scene()
+
+    def gather(self, arrays, idx, coords, key=None):
         del idx
-        gb = self.scene.gather_batch
-        try:
-            return gb(coords, key=key)
-        except TypeError:
-            return gb(coords)
+        from hypelcnn_tpu.data.scene import (
+            DualResScene,
+            MultiScene,
+            gather_from_dual,
+            gather_from_multi,
+            gather_from_scene,
+        )
+        n = self.scene.neighborhood
+        if isinstance(self.scene, MultiScene):
+            return gather_from_multi(arrays, coords, n, key)
+        if isinstance(self.scene, DualResScene):
+            casi, lidar = arrays
+            return gather_from_dual(casi, lidar, coords, n)
+        return gather_from_scene(arrays, coords, n)
 
 
 class ArrayPatchSource(PatchSource):
     def __init__(self, patches: jax.Array):
         self.patches = patches
 
-    def gather(self, idx, coords, key=None):
+    def device_arrays(self):
+        return self.patches
+
+    def gather(self, arrays, idx, coords, key=None):
         del coords, key
-        return jnp.take(self.patches, idx, axis=0)
+        return jnp.take(arrays, idx, axis=0)
 
 
 @dataclass

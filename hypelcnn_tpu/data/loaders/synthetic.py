@@ -48,7 +48,7 @@ class SyntheticDataLoader(DataLoader):
         rng = np.random.default_rng(self.seed)
         h, w, b, c = self.height, self.width, self.bands, self.classes
         # blocky class map: coarse noise upsampled, so classes form regions
-        coarse = rng.integers(0, c, size=(max(1, h // 8), max(1, w // 8)))
+        coarse = rng.integers(0, c, size=(max(1, -(-h // 8)), max(1, -(-w // 8))))
         gt = np.kron(coarse, np.ones((8, 8), dtype=int))[:h, :w].astype(np.uint8)
         # distinct spectral signature per class + noise
         signatures = rng.uniform(500, 8000, size=(c, b)).astype(np.float32)

@@ -21,6 +21,34 @@ import numpy as np
 from hypelcnn_tpu.ops.window_gather import gather_patches_dual, gather_patches_xla
 
 
+def gather_from_scene(scene_dev: jax.Array, coords: jax.Array, neighborhood: int) -> jax.Array:
+    """Pure batched window gather; ``scene_dev`` passed explicitly so jitted
+    callers don't capture a huge array as a program constant."""
+    return gather_patches_xla(scene_dev, coords, 2 * neighborhood + 1)
+
+
+def gather_from_dual(casi: jax.Array, lidar: jax.Array, coords: jax.Array,
+                     neighborhood: int) -> jax.Array:
+    return gather_patches_dual(casi, lidar, coords, neighborhood,
+                               DualResScene.CASI_SCALE)
+
+
+def gather_from_multi(stacked: jax.Array, coords: jax.Array, neighborhood: int,
+                      key: Optional[jax.Array] = None) -> jax.Array:
+    """Random-source gather over stacked member scenes (MultiScene)."""
+    k = 2 * neighborhood + 1
+    n_scenes = stacked.shape[0]
+    if key is None:
+        src = jnp.zeros((coords.shape[0],), dtype=jnp.int32)
+    else:
+        src = jax.random.randint(key, (coords.shape[0],), 0, n_scenes)
+
+    def one(xy, s):
+        return jax.lax.dynamic_slice(
+            stacked, (s, xy[1], xy[0], 0), (1, k, k, stacked.shape[3]))[0]
+    return jax.vmap(one)(coords.astype(jnp.int32), src)
+
+
 class Scene:
     """A padded, normalized scene with optional LiDAR band.
 
@@ -183,15 +211,4 @@ class MultiScene:
         self.device_scenes()
 
     def gather_batch(self, coords: jax.Array, key: Optional[jax.Array] = None) -> jax.Array:
-        stacked = self.device_scenes()
-        k = 2 * self.neighborhood + 1
-        n_scenes = stacked.shape[0]
-        if key is None:
-            src = jnp.zeros((coords.shape[0],), dtype=jnp.int32)
-        else:
-            src = jax.random.randint(key, (coords.shape[0],), 0, n_scenes)
-
-        def one(xy, s):
-            return jax.lax.dynamic_slice(
-                stacked, (s, xy[1], xy[0], 0), (1, k, k, stacked.shape[3]))[0]
-        return jax.vmap(one)(coords.astype(jnp.int32), src)
+        return gather_from_multi(self.device_scenes(), coords, self.neighborhood, key)

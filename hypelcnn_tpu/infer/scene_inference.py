@@ -28,10 +28,14 @@ INVALID_TARGET_VALUE = 255  # reference common/common_nn_ops.py:20
 def predict_targets(module, variables, scene, targets_xy: np.ndarray,
                     batch_size: int = 4096) -> np.ndarray:
     """Predict class ids for an explicit (x, y) target list."""
+    k = 2 * scene.neighborhood + 1
+    scene_dev = scene.device_scene()
+
     @jax.jit
-    def step(coords):
-        patches = scene.gather_batch(coords)
-        out = module.apply(variables, patches, train=False)
+    def step(sc, v, coords):
+        from hypelcnn_tpu.ops.window_gather import gather_patches_xla
+        patches = gather_patches_xla(sc, coords, k)
+        out = module.apply(v, patches, train=False)
         return jnp.argmax(out.y_conv, axis=1)
 
     n = targets_xy.shape[0]
@@ -41,28 +45,38 @@ def predict_targets(module, variables, scene, targets_xy: np.ndarray,
         end = min(start + batch_size, n)
         pad = batch_size - (end - start)
         coords = np.pad(coords_all[start:end], ((0, pad), (0, 0)))
-        batch_preds = np.asarray(step(jnp.asarray(coords)))
+        batch_preds = np.asarray(step(scene_dev, variables, jnp.asarray(coords)))
         preds[start:end] = batch_preds[: end - start]
     return preds
 
 
-def predict_full_scene(module, variables, scene, batch_rows: int = 8) -> np.ndarray:
+def predict_full_scene(module, variables, scene, batch_rows: int = 16) -> np.ndarray:
     """Classify every pixel; returns an [H, W] uint8 class map.
 
     Row-major mega-batches of ``batch_rows`` full scene rows each; the
     coordinate grid is generated on-device (broadcasted_iota), so the host
     never materializes per-pixel work.  ~665k pixels for GRSS2013 run in a
     few jitted calls instead of the reference's ~665k-element feed loop.
+    The scene and params are program ARGUMENTS (a closure would bake the
+    scene into the compiled program as a multi-hundred-MB constant).
     """
     height, width = scene.get_scene_shape()
+    k = 2 * scene.neighborhood + 1
+    scene_dev = scene.device_scene()
+    channels = scene_dev.shape[2]
 
     @jax.jit
-    def sweep_rows(row_start):
+    def sweep_rows(sc, v, row_start):
+        # batched window gather over a dense row-band of pixels; measured
+        # faster per pixel than a static-shift im2col variant (XLA picks
+        # better layouts for the gather at this batch size) and compiles
+        # far faster
         rows = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 0) + row_start
         cols = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 1)
         coords = jnp.stack([cols.reshape(-1), rows.reshape(-1)], axis=1)
-        patches = scene.gather_batch(coords)
-        out = module.apply(variables, patches, train=False)
+        from hypelcnn_tpu.ops.window_gather import gather_patches_xla
+        patches = gather_patches_xla(sc, coords, k)
+        out = module.apply(v, patches, train=False)
         return jnp.argmax(out.y_conv, axis=1).reshape(batch_rows, width)
 
     result = np.empty((height, width), dtype=np.int32)
@@ -70,7 +84,7 @@ def predict_full_scene(module, variables, scene, batch_rows: int = 8) -> np.ndar
     # pad the scene sweep by clamping the last block's row_start
     for row_start in range(0, padded_h, batch_rows):
         rs = min(row_start, height - batch_rows) if height >= batch_rows else 0
-        block = np.asarray(sweep_rows(rs))
+        block = np.asarray(sweep_rows(scene_dev, variables, rs))
         result[rs:rs + batch_rows] = block
     return result.astype(np.uint8)
 

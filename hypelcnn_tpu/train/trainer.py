@@ -143,13 +143,14 @@ class ClassificationTrainer:
         class_count = self.class_count
         source = self.sources["training"]
 
-        def one_step(state: TrainState, inp):
+        def one_step(carry, inp):
+            state, arrays = carry
             idx, step_no = inp
             coords = jnp.take(coords_table, idx, axis=0)
             label_ids = jnp.take(labels_table, idx, axis=0)
             key = jax.random.fold_in(self._train_key_base, step_no)
             gather_key, aug_key, drop_key = jax.random.split(key, 3)
-            patches = source.gather(idx, coords, key=gather_key)
+            patches = source.gather(arrays, idx, coords, key=gather_key)
             patches = augment_batch(patches, aug_key, aug_info)
             labels = jax.nn.one_hot(label_ids, class_count, dtype=jnp.float32)
 
@@ -168,23 +169,28 @@ class ClassificationTrainer:
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
-            return TrainState(step=state.step + 1, params=new_params,
-                              batch_stats=new_stats, opt_state=new_opt_state), loss
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   batch_stats=new_stats, opt_state=new_opt_state)
+            return (new_state, arrays), loss
 
-        def chunk_fn(state: TrainState, idx_chunk, step_nos):
-            return jax.lax.scan(one_step, state, (idx_chunk, step_nos))
+        def chunk_fn(state: TrainState, arrays, idx_chunk, step_nos):
+            # `arrays` (the scene) rides the carry so it is a program
+            # ARGUMENT, not a baked-in constant
+            (state, _), losses = jax.lax.scan(one_step, (state, arrays),
+                                              (idx_chunk, step_nos))
+            return state, losses
 
         batch_sh3 = NamedSharding(self.mesh, P(None, DATA_AXIS))
         repl = NamedSharding(self.mesh, P())
         return jax.jit(chunk_fn, donate_argnums=(0,),
-                       in_shardings=(None, batch_sh3, repl))
+                       in_shardings=(None, repl, batch_sh3, repl))
 
     def _build_eval_step(self, split: str):
         module = self.module
         source = self.sources[split]
 
-        def eval_fn(params, batch_stats, idx, coords, label_ids, mask, confusion):
-            patches = source.gather(idx, coords)
+        def eval_fn(params, batch_stats, arrays, idx, coords, label_ids, mask, confusion):
+            patches = source.gather(arrays, idx, coords)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -214,6 +220,7 @@ class ClassificationTrainer:
         confusion = jnp.zeros((self.class_count, self.class_count), dtype=jnp.int32)
         coords_all = np.asarray(targets[:, :2], dtype=np.int32)
         labels_all = np.asarray(targets[:, 2], dtype=np.int32)
+        arrays = self.sources[split].device_arrays()
         for start in range(0, n, batch_size):
             end = min(start + batch_size, n)
             pad = batch_size - (end - start)
@@ -222,6 +229,7 @@ class ClassificationTrainer:
             labels = np.pad(labels_all[start:end], (0, pad))
             mask = np.pad(np.ones(end - start, dtype=np.int32), (0, pad))
             confusion = self._eval_step[split](state.params, state.batch_stats,
+                                               arrays,
                                                jnp.asarray(idx), jnp.asarray(coords),
                                                jnp.asarray(labels),
                                                jnp.asarray(mask), confusion)
@@ -267,12 +275,13 @@ class ClassificationTrainer:
         nan_seen = False
         t0 = time.time()
         start = 0
+        train_arrays = self.sources["training"].device_arrays()
         while start < num_steps:
             n = min(chunk, num_steps - start)
             idx_chunk = jax.lax.slice_in_dim(indices_dev, start, start + n, axis=0)
             step_nos = jnp.arange(start, start + n, dtype=jnp.uint32)
             with jax.profiler.StepTraceAnnotation("train_chunk", step_num=start):
-                state, losses = self._train_step(state, idx_chunk, step_nos)
+                state, losses = self._train_step(state, train_arrays, idx_chunk, step_nos)
             end = start + n
 
             if crossed(log_every, start, end) or end == num_steps:

@@ -78,7 +78,8 @@ class TestTraining:
                                       train_ratio=0.5, test_ratio=0.1, neighborhood=1)
         import jax.numpy as jnp
         idx = jnp.arange(4)
-        got = data.sources["training"].gather(idx, None)
+        src = data.sources["training"]
+        got = src.gather(src.device_arrays(), idx, None)
         targets = data.sample_set.training_targets
         for i in range(4):
             expected = data.scene.get_data_point(int(targets[i, 0]), int(targets[i, 1]))
@@ -133,7 +134,8 @@ class TestTraining:
         assert data.data_shape == [3, 3, 7]
         assert data.sample_set.training_targets.shape[0] > 0
         import jax.numpy as jnp
-        patches = data.sources["training"].gather(jnp.arange(2), None)
+        src = data.sources["training"]
+        patches = src.gather(src.device_arrays(), jnp.arange(2), None)
         assert patches.shape[1:] == (3, 3, 7)
 
 
