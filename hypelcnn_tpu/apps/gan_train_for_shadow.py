@@ -133,12 +133,15 @@ def run_session(params, base_log_path) -> List[float]:
 
     step_fn_built = trainer.build_train_step()
 
-    def one_step(state, inp):
+    def one_step(carry, inp):
+        # pair arrays ride the scan carry: a closure would bake them into
+        # the compiled program as multi-hundred-MB constants at real scale
+        state, normal_d, shadow_d = carry
         idx, step_no = inp
         key = jax.random.fold_in(rng_base, step_no)
         k_reg1, k_reg2, k_step = jax.random.split(key, 3)
-        x = jnp.take(normal_dev, idx, axis=0)
-        y = jnp.take(shadow_dev, idx, axis=0)
+        x = jnp.take(normal_d, idx, axis=0)
+        y = jnp.take(shadow_d, idx, axis=0)
         # regularization-support swap (reference load_op map fn,
         # gan/gan_train_for_shadow.py:171-182), per example
         if reg_rate > 0:
@@ -147,10 +150,12 @@ def run_session(params, base_log_path) -> List[float]:
             u2 = jax.random.uniform(k_reg2, (batch, 1, 1, 1), minval=0.01, maxval=0.99)
             y = jnp.where(u2 < reg_rate, x / ratio_dev, y)
         new_state, metrics = step_fn_built(state, x, y, k_step)
-        return new_state, metrics["generator_loss"]
+        return (new_state, normal_d, shadow_d), metrics["generator_loss"]
 
-    def chunk_fn(state, idx_chunk, step_nos):
-        return jax.lax.scan(one_step, state, (idx_chunk, step_nos))
+    def chunk_fn(state, normal_d, shadow_d, idx_chunk, step_nos):
+        (state, _, _), losses = jax.lax.scan(one_step, (state, normal_d, shadow_d),
+                                             (idx_chunk, step_nos))
+        return state, losses
 
     rng_base = rng.key("gan-train")
     chunk_jit = jax.jit(chunk_fn, donate_argnums=(0,))
@@ -171,7 +176,7 @@ def run_session(params, base_log_path) -> List[float]:
         n = min(cadence, total_steps - start)
         idx_chunk = jax.lax.slice_in_dim(idx_stream, start, start + n, axis=0)
         step_nos = jnp.arange(start, start + n, dtype=jnp.uint32)
-        state, gen_losses = chunk_jit(state, idx_chunk, step_nos)
+        state, gen_losses = chunk_jit(state, normal_dev, shadow_dev, idx_chunk, step_nos)
         start += n
         print(f"step {start}: generator_loss={float(gen_losses[-1]):.4f} "
               f"({start / (time.time() - t0):.1f} steps/s avg)")

@@ -241,6 +241,17 @@ class ClassificationTrainer:
             progress_callback: Optional[Callable[[int, float], None]] = None,
             log_every: int = 100) -> TrainingResult:
         state = self.init_state()
+        resume_step = 0
+        if self.log_dir and self.save_checkpoint_steps:
+            # auto-resume from the latest checkpoint (MonitoredTrainingSession
+            # parity, reference classify/monitored_session_runner.py:173-180)
+            restored = self.restore_checkpoint()
+            if restored is not None and int(restored.step) > 0:
+                repl = NamedSharding(self.mesh, P())
+                state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), restored)
+                resume_step = min(int(restored.step), num_steps)
+                print(f"Resuming from checkpoint at step {resume_step}")
 
         train = self.sample_set.training_targets
         index_stream = make_epoch_index_stream(
@@ -274,7 +285,7 @@ class ClassificationTrainer:
         last_loss = float("nan")
         nan_seen = False
         t0 = time.time()
-        start = 0
+        start = resume_step
         train_arrays = self.sources["training"].device_arrays()
         while start < num_steps:
             n = min(chunk, num_steps - start)
