@@ -50,7 +50,8 @@ def predict_targets(module, variables, scene, targets_xy: np.ndarray,
     return preds
 
 
-def predict_full_scene(module, variables, scene, batch_rows: int = 16) -> np.ndarray:
+def predict_full_scene(module, variables, scene, batch_rows: int = 16,
+                       mesh=None) -> np.ndarray:
     """Classify every pixel; returns an [H, W] uint8 class map.
 
     Row-major mega-batches of ``batch_rows`` full scene rows each; the
@@ -74,6 +75,13 @@ def predict_full_scene(module, variables, scene, batch_rows: int = 16) -> np.nda
         rows = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 0) + row_start
         cols = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 1)
         coords = jnp.stack([cols.reshape(-1), rows.reshape(-1)], axis=1)
+        if mesh is not None:
+            # spatial "context parallelism": each chip sweeps a slice of the
+            # pixel batch; the scene is replicated in every chip's HBM
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from hypelcnn_tpu.parallel.mesh import DATA_AXIS
+            coords = jax.lax.with_sharding_constraint(
+                coords, NamedSharding(mesh, P(DATA_AXIS, None)))
         from hypelcnn_tpu.ops.window_gather import gather_patches_xla
         patches = gather_patches_xla(sc, coords, k)
         out = module.apply(v, patches, train=False)

@@ -1,0 +1,92 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from hypelcnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, create_mesh
+from hypelcnn_tpu.parallel.distributed import initialize_distributed, is_chief, local_batch_slice
+
+
+class TestMesh:
+    def test_create_mesh_axes(self):
+        mesh = create_mesh()
+        assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_model_parallel_split(self):
+        mesh = create_mesh(model_parallel=2)
+        assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+
+    def test_invalid_model_parallel(self):
+        with pytest.raises(ValueError):
+            create_mesh(model_parallel=3)
+
+    def test_batch_sharding_places_shards(self):
+        import jax.numpy as jnp
+        mesh = create_mesh()
+        x = jnp.arange(16 * 4).reshape(16, 4)
+        y = jax.device_put(x, batch_sharding(mesh, 2))
+        assert len(y.sharding.device_set) == len(jax.devices())
+
+
+class TestDistributed:
+    def test_single_process_noop(self):
+        assert initialize_distributed() is False
+        assert is_chief() is True
+        assert local_batch_slice(16) == 16
+
+    def test_local_batch_requires_divisibility(self):
+        # single process: everything divides
+        assert local_batch_slice(7) == 7
+
+
+class TestShardedInference:
+    def test_sharded_sweep_matches_unsharded(self, synthetic_loader):
+        from hypelcnn_tpu.infer.scene_inference import predict_full_scene
+        from hypelcnn_tpu.models import CONCNNModel
+        import jax.numpy as jnp
+
+        scene = synthetic_loader.load_data(neighborhood=1, normalize=True)
+        model = CONCNNModel()
+        module = model.create_module(5, {**model.default_params(), "filter_count": 8})
+        x = jnp.zeros((2, 3, 3, 13), jnp.float32)
+        variables = jax.jit(lambda r: module.init(r, x, train=False))(
+            {"params": jax.random.key(0)})
+        mesh = create_mesh()
+        plain = predict_full_scene(module, variables, scene, batch_rows=8)
+        sharded = predict_full_scene(module, variables, scene, batch_rows=8, mesh=mesh)
+        np.testing.assert_array_equal(plain, sharded)
+
+
+class TestTrainerOnMesh:
+    def test_gradients_match_single_device(self, synthetic_loader):
+        """Data-parallel sharded training must produce the same numbers as
+        unsharded (same global batch, replicated params)."""
+        import jax.numpy as jnp
+        from hypelcnn_tpu.core.registry import get_importer_from_name
+        from hypelcnn_tpu.models import CONCNNModel
+        from hypelcnn_tpu.train.trainer import ClassificationTrainer
+        from jax.sharding import Mesh
+
+        importer = get_importer_from_name("GeneratorImporter")
+        data = importer.read_data_set(
+            "SyntheticDataLoader", "synthetic://?h=48&w=64&bands=12&classes=5&seed=3",
+            train_ratio=0.5, test_ratio=0.1, neighborhood=1)
+        params = {"batch_size": 16, "drop_out_ratio": 0.0, "learning_rate": 1e-3,
+                  "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+                  "filter_count": 8, "optimizer": "AdamOptimizer"}
+
+        losses = {}
+        for name, mesh in (("multi", create_mesh()),
+                           ("single", Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                                           (DATA_AXIS, MODEL_AXIS)))):
+            np.random.seed(0)
+            tr = ClassificationTrainer(
+                model=CONCNNModel(), class_count=data.class_count,
+                algorithm_params=params, scene=data.scene,
+                sample_set=data.sample_set, sources=data.sources,
+                data_shape=data.data_shape, mesh=mesh)
+            result = tr.fit(num_steps=4, batch_size=16, log_every=4)
+            losses[name] = result.loss
+        assert losses["multi"] == pytest.approx(losses["single"], rel=1e-4)
