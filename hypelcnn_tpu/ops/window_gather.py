@@ -149,8 +149,9 @@ def gather_patches_dual(casi: jax.Array, lidar: jax.Array, coords: jax.Array,
     def one(xy):
         cx = (xy[0].astype(jnp.float32) * casi_scale).astype(jnp.int32) + neighborhood - actual_pad
         cy = (xy[1].astype(jnp.float32) * casi_scale).astype(jnp.int32) + neighborhood - actual_pad
-        casi_rows = jnp.take(casi, cy + offs, axis=0)
-        casi_patch = jnp.take(casi_rows, cx + offs, axis=1)
+        # clip (dynamic_slice semantics) — jnp.take's default fills OOB with NaN
+        casi_rows = jnp.take(casi, cy + offs, axis=0, mode="clip")
+        casi_patch = jnp.take(casi_rows, cx + offs, axis=1, mode="clip")
         lidar_patch = jax.lax.dynamic_slice(lidar, (xy[1], xy[0], 0), (k, k, lidar.shape[2]))
         return jnp.concatenate([casi_patch, lidar_patch.astype(casi_patch.dtype)], axis=-1)
 

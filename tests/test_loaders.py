@@ -196,3 +196,23 @@ class TestAVON:
         assert samples.training_targets.shape[0] > 0
         assert samples.validation_targets.shape[0] > 0
         assert set(samples.training_targets[:, 2]) <= {0, 1}
+
+
+class TestDualResTraining:
+    def test_trainer_with_dual_res_scene(self, grss2018_dir):
+        """End-to-end: the dual-resolution gather rides the jitted train chunk."""
+        from hypelcnn_tpu.models import CONCNNModel
+        from hypelcnn_tpu.train.trainer import ClassificationTrainer
+
+        loader = get_loader_from_name("GRSS2018DataLoader", grss2018_dir)
+        scene = loader.load_data(neighborhood=1, normalize=True)
+        np.random.seed(0)
+        samples = loader.load_samples(0.5, 0.0)
+        params = {"batch_size": 8, "drop_out_ratio": 0.5, "learning_rate": 1e-3,
+                  "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+                  "filter_count": 8, "optimizer": "AdamOptimizer"}
+        trainer = ClassificationTrainer(
+            model=CONCNNModel(), class_count=20, algorithm_params=params,
+            scene=scene, sample_set=samples, test_cadence=10 ** 9)
+        result = trainer.fit(num_steps=4, batch_size=8, log_every=4)
+        assert np.isfinite(result.loss)
