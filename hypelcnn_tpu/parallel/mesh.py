@@ -72,3 +72,28 @@ def shard_batch(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def shard_params_for_tp(params, mesh: Mesh, min_width: int = 64):
+    """Tensor-parallel placement: shard wide kernels' output-channel dim over
+    the ``model`` axis.
+
+    The model families' width knob is ``filter_count`` (HYPELCNN sweeps
+    480-1200); sharding those kernels' last dim splits each 1x1-conv matmul
+    column-wise across chips, with XLA inserting the activation collectives.
+    Kernels narrower than ``min_width`` (or not divisible by the axis size)
+    stay replicated.  Returns the params pytree placed accordingly — a
+    no-op layout on a 1-wide model axis.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+
+    def place(path, x):
+        is_kernel = path and getattr(path[-1], "key", "") == "kernel"
+        if tp > 1 and is_kernel and x.ndim >= 2 and x.shape[-1] >= min_width \
+                and x.shape[-1] % tp == 0:
+            spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -125,6 +125,11 @@ class ClassificationTrainer:
             {"params": self.rng_pool.key("init"), "dropout": self.rng_pool.key("init-dropout")})
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        from hypelcnn_tpu.parallel.mesh import MODEL_AXIS, shard_params_for_tp
+        if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            # tensor parallelism: wide kernels column-sharded over the model
+            # axis; optimizer state inherits the placement from tx.init
+            params = shard_params_for_tp(params, self.mesh)
         return TrainState.create(params, batch_stats, self.tx)
 
     # ---- jitted steps ----

@@ -90,3 +90,46 @@ class TestTrainerOnMesh:
             result = tr.fit(num_steps=4, batch_size=16, log_every=4)
             losses[name] = result.loss
         assert losses["multi"] == pytest.approx(losses["single"], rel=1e-4)
+
+
+class TestTensorParallel:
+    def test_tp_training_matches_dp_numerics(self, synthetic_loader):
+        """2-way tensor parallel over the model axis: same losses as pure DP."""
+        import jax.numpy as jnp
+        from hypelcnn_tpu.core.registry import get_importer_from_name
+        from hypelcnn_tpu.models import HYPELCNNModel
+        from hypelcnn_tpu.train.trainer import ClassificationTrainer
+
+        importer = get_importer_from_name("GeneratorImporter")
+        data = importer.read_data_set(
+            "SyntheticDataLoader", "synthetic://?h=48&w=64&bands=12&classes=5&seed=3",
+            train_ratio=0.5, test_ratio=0.1, neighborhood=1)
+        params = {"batch_size": 16, "drop_out_ratio": 0.0, "learning_rate": 1e-3,
+                  "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+                  "lrelu_alpha": 0.18, "bn_decay": 0.95, "filter_count": 64,
+                  "spectral_hierarchy_level": 2, "spatial_hierarchy_level": 1,
+                  "degradation_coeff": 3, "use_residual": True,
+                  "optimizer": "AdamOptimizer"}
+        losses = {}
+        for name, mp in (("dp", 1), ("tp", 2)):
+            np.random.seed(0)
+            tr = ClassificationTrainer(
+                model=HYPELCNNModel(), class_count=data.class_count,
+                algorithm_params=params, scene=data.scene,
+                sample_set=data.sample_set, sources=data.sources,
+                data_shape=data.data_shape, mesh=create_mesh(model_parallel=mp))
+            result = tr.fit(num_steps=4, batch_size=16, log_every=4)
+            losses[name] = result.loss
+        assert losses["tp"] == pytest.approx(losses["dp"], rel=1e-3)
+
+    def test_shard_params_for_tp_placement(self):
+        import jax.numpy as jnp
+        from hypelcnn_tpu.parallel.mesh import shard_params_for_tp
+        mesh = create_mesh(model_parallel=2)
+        params = {"layer": {"kernel": jnp.zeros((1, 1, 12, 128)),
+                            "bias": jnp.zeros((128,))},
+                  "small": {"kernel": jnp.zeros((4, 8))}}
+        placed = shard_params_for_tp(params, mesh)
+        wide_spec = placed["layer"]["kernel"].sharding.spec
+        assert wide_spec[-1] == "model"
+        assert placed["small"]["kernel"].sharding.spec == ()  # replicated
