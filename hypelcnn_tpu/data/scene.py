@@ -38,15 +38,15 @@ def gather_from_multi(stacked: jax.Array, coords: jax.Array, neighborhood: int,
     """Random-source gather over stacked member scenes (MultiScene)."""
     k = 2 * neighborhood + 1
     n_scenes = stacked.shape[0]
+    coords = coords.astype(jnp.int32)
     if key is None:
         src = jnp.zeros((coords.shape[0],), dtype=jnp.int32)
     else:
         src = jax.random.randint(key, (coords.shape[0],), 0, n_scenes)
-
-    def one(xy, s):
-        return jax.lax.dynamic_slice(
-            stacked, (s, xy[1], xy[0], 0), (1, k, k, stacked.shape[3]))[0]
-    return jax.vmap(one)(coords.astype(jnp.int32), src)
+    offs = jnp.arange(k, dtype=jnp.int32)
+    ys = coords[:, 1][:, None, None] + offs[None, :, None]
+    xs = coords[:, 0][:, None, None] + offs[None, None, :]
+    return stacked[src[:, None, None], ys, xs]
 
 
 class Scene:
