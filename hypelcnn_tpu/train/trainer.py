@@ -208,7 +208,7 @@ class ClassificationTrainer:
     # ---- evaluation drains ----
 
     def evaluate(self, state: TrainState, split: str = "test",
-                 batch_size: int = 1024) -> MetricsResult:
+                 batch_size: int = 8192) -> MetricsResult:
         """Drain a target split through eval batches, accumulate confusion,
         compute OA/AA/kappa (reference ``calculate_accuracy``,
         `common/common_nn_ops.py:295-310`)."""
