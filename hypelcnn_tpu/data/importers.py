@@ -200,6 +200,10 @@ class RecordImporter(BaseImporter):
     def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
         import os
         del train_ratio, test_ratio, neighborhood
+        record_dir = path if os.path.isdir(path) else os.path.dirname(path) or "."
+        if not path.endswith(".npz") and \
+                os.path.exists(os.path.join(record_dir, "metadata.tfrecord")):
+            return self._read_reference_tfrecords(loader_name, record_dir)
         cache_path = path if path.endswith(".npz") else os.path.join(path, "patch_cache.npz")
         blob = np.load(cache_path, allow_pickle=False)
         sources = {}
@@ -220,4 +224,41 @@ class RecordImporter(BaseImporter):
             data_shape=list(blob["data_shape"]),
             color_list=color_list,
             sources=sources,
+            requires_separate_validation_branch=False)
+
+    def _read_reference_tfrecords(self, loader_name, record_dir):
+        """Load the reference's own .tfrecord files
+        (format: `utilities/tfrecord_writer.py:45-81` in the reference)."""
+        from hypelcnn_tpu.utils.tfrecord_compat import read_reference_tfrecords
+        splits = read_reference_tfrecords(record_dir)
+        sources = {}
+        sample_targets = {}
+        data_shape = None
+        for split, (patches, labels) in splits.items():
+            # no (x, y) positions in record files; targets carry labels only
+            targets = np.zeros((labels.shape[0], 3), dtype=np.int32)
+            targets[:, 2] = labels
+            sample_targets[split] = targets
+            sources[split] = ArrayPatchSource(jnp.asarray(patches))
+            if patches.shape[0]:
+                data_shape = list(patches.shape[1:])
+        sample_set = SampleSet(training_targets=sample_targets["training"],
+                               test_targets=sample_targets["test"],
+                               validation_targets=sample_targets["validation"])
+        class_count = int(max(int(t[:, 2].max(initial=0)) for t in sample_targets.values())) + 1
+        color_list = np.zeros((class_count, 3), dtype=np.uint8)
+        if loader_name:
+            try:
+                from hypelcnn_tpu.core.registry import get_loader_from_name
+                loader = get_loader_from_name(loader_name, record_dir)
+                class_count = loader.get_class_count().stop
+                color_list = loader.get_samples_color_list()
+            except Exception:
+                loader = None
+        else:
+            loader = None
+        return ImportedDataSet(
+            loader=loader, scene=None, sample_set=sample_set,
+            class_count=class_count, data_shape=data_shape,
+            color_list=color_list, sources=sources,
             requires_separate_validation_branch=False)

@@ -166,3 +166,48 @@ class TestInference:
         assert out.shape == (2, 2, 3)
         np.testing.assert_array_equal(out[0, 0], [10, 0, 0])
         np.testing.assert_array_equal(out[1, 0], [0, 0, 0])  # invalid -> black
+
+
+class TestTFRecordCompat:
+    def test_reads_reference_format_tfrecords(self, tmp_path):
+        """Round-trip through the REFERENCE's serialization format."""
+        tf = pytest.importorskip("tensorflow")
+        rng = np.random.default_rng(0)
+        shapes = {}
+        for split, fname, n in (("training", "training.tfrecord", 6),
+                                ("test", "test.tfrecord", 3),
+                                ("validation", "validation.tfrecord", 4)):
+            data = rng.uniform(size=(n, 3, 3, 5)).astype(np.float32)
+            labels = rng.integers(0, 3, n)
+            shapes[split] = data.shape
+            with tf.io.TFRecordWriter(str(tmp_path / fname)) as writer:
+                for i in range(n):
+                    feature = {
+                        "label": tf.train.Feature(
+                            int64_list=tf.train.Int64List(value=[labels[i]])),
+                        "image": tf.train.Feature(
+                            float_list=tf.train.FloatList(value=data[i].reshape(-1))),
+                    }
+                    ex = tf.train.Example(features=tf.train.Features(feature=feature))
+                    writer.write(ex.SerializeToString())
+        with tf.io.TFRecordWriter(str(tmp_path / "metadata.tfrecord")) as writer:
+            feature = {
+                "training_data_shape": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=shapes["training"])),
+                "testing_data_shape": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=shapes["test"])),
+                "validation_data_shape": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=shapes["validation"])),
+            }
+            ex = tf.train.Example(features=tf.train.Features(feature=feature))
+            writer.write(ex.SerializeToString())
+
+        importer = get_importer_from_name("TFRecordImporter")  # reference alias
+        data = importer.read_data_set(None, str(tmp_path), None, None, None)
+        assert data.data_shape == [3, 3, 5]
+        assert data.sample_set.training_targets.shape[0] == 6
+        assert data.sample_set.validation_targets.shape[0] == 4
+        import jax.numpy as jnp
+        src = data.sources["test"]
+        patches = src.gather(src.device_arrays(), jnp.arange(3), None)
+        assert patches.shape == (3, 3, 3, 5)
