@@ -26,7 +26,9 @@ def adj_shadow_ratio(shadow_ratio: np.ndarray, is_shadow: bool) -> np.ndarray:
 
 
 def kl_divergence(p: np.ndarray, q: np.ndarray) -> float:
-    return float(np.sum(np.where(p != 0, p * np.log(p / q), 0)))
+    safe_p = np.where(p != 0, p, 1.0)
+    safe_q = np.where(q != 0, q, 1.0)
+    return float(np.sum(np.where(p != 0, p * np.log(safe_p / safe_q), 0)))
 
 
 def js_divergence(p: np.ndarray, q: np.ndarray) -> float:

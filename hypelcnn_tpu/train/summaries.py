@@ -13,8 +13,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 try:
     from torch.utils.tensorboard import SummaryWriter as _TBWriter
 except Exception:  # pragma: no cover

@@ -43,7 +43,7 @@ from hypelcnn_tpu.models.base import NNModel
 from hypelcnn_tpu.parallel.mesh import DATA_AXIS, create_mesh
 from hypelcnn_tpu.train.metrics import MetricsResult, compute_metrics, confusion_update
 from hypelcnn_tpu.train.optimizer import build_optimizer
-from hypelcnn_tpu.train.state import TrainState, variables_of
+from hypelcnn_tpu.train.state import TrainState
 
 
 @dataclass
