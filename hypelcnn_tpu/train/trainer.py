@@ -252,6 +252,10 @@ class ClassificationTrainer:
             # parity, reference classify/monitored_session_runner.py:173-180)
             restored = self.restore_checkpoint()
             if restored is not None and int(restored.step) > 0:
+                # re-replicate over the mesh; a TP run resumes with replicated
+                # params (still correct — jit resharding re-establishes the
+                # compute layout; re-applying shard_params_for_tp to params
+                # AND optimizer state is a future optimization)
                 repl = NamedSharding(self.mesh, P())
                 state = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, repl), restored)
