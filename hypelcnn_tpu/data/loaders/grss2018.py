@@ -81,3 +81,13 @@ class GRSS2018DataLoader(DataLoader):
 
     def get_band_measurements(self) -> np.ndarray:
         return np.linspace(380, 1050, num=48)
+
+
+    @staticmethod
+    def print_stats(data: np.ndarray) -> None:
+        """Per-band stats printout (reference `loader/GRSS2018DataLoader.py:59-64`)."""
+        for band_index in range(1, data.shape[2]):
+            band_data = data[:, :, band_index]
+            print("Band mean:%.5f, band std:%.5f, min:%.5f, max:%.5f" % (
+                np.mean(band_data), np.std(band_data), np.min(band_data),
+                np.max(band_data)))

@@ -37,6 +37,7 @@ class SyntheticDataLoader(DataLoader):
         self.bands = int(q.get("bands", [144])[0])
         self.classes = int(q.get("classes", [15])[0])
         self.seed = int(q.get("seed", [7])[0])
+        self.base_dir = q.get("base", ["."])[0]
         self._rng = np.random.default_rng(self.seed)
         self._gt = None
         self._casi = None
@@ -87,7 +88,14 @@ class SyntheticDataLoader(DataLoader):
         return range(0, self.classes)
 
     def get_model_base_dir(self) -> str:
-        return "."
+        return self.base_dir if self.base_dir.endswith("/") else self.base_dir + "/"
+
+    def get_shadow_checkpoints(self):
+        # same relative layout as the real loaders so the frozen-GAN
+        # augmentation workflow can be exercised end-to-end synthetically
+        return {name: f"shadow_gen_model/{name}"
+                for name in ("cycle_gan", "dcl_gan", "dcl_cycle_gan",
+                             "gan_x2y", "cut_x2y")}
 
     def get_samples_color_list(self) -> np.ndarray:
         rng = np.random.default_rng(3)
