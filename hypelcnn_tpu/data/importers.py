@@ -113,9 +113,9 @@ class ImportedDataSet:
 
 
 def _load_common(loader_name: str, path: str, neighborhood: int,
-                 train_ratio: float, test_ratio: float):
+                 train_ratio: float, test_ratio: float, normalize: bool = True):
     loader = get_loader_from_name(loader_name, path)
-    scene = loader.load_data(neighborhood, normalize=True)
+    scene = loader.load_data(neighborhood, normalize=normalize)
     sample_set = loader.load_samples(train_ratio, test_ratio)
     return loader, scene, sample_set
 
@@ -133,7 +133,8 @@ def _gather_all_host(scene, targets: np.ndarray) -> np.ndarray:
 
 class BaseImporter:
     def read_data_set(self, loader_name: str, path: str, train_ratio: float,
-                      test_ratio: float, neighborhood: int) -> ImportedDataSet:
+                      test_ratio: float, neighborhood: int,
+                      normalize: bool = True) -> ImportedDataSet:
         raise NotImplementedError
 
 
@@ -143,9 +144,10 @@ class GeneratorImporter(BaseImporter):
 
     requires_separate_validation_branch = True
 
-    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
+    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood,
+                      normalize=True):
         loader, scene, sample_set = _load_common(loader_name, path, neighborhood,
-                                                 train_ratio, test_ratio)
+                                                 train_ratio, test_ratio, normalize)
         src = ScenePatchSource(scene)
         return ImportedDataSet(
             loader=loader, scene=scene, sample_set=sample_set,
@@ -168,9 +170,10 @@ class InMemoryImporter(BaseImporter):
 
     requires_separate_validation_branch = True
 
-    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
+    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood,
+                      normalize=True):
         loader, scene, sample_set = _load_common(loader_name, path, neighborhood,
-                                                 train_ratio, test_ratio)
+                                                 train_ratio, test_ratio, normalize)
         sources = {}
         for split, targets in (("training", sample_set.training_targets),
                                ("test", sample_set.test_targets),
@@ -197,9 +200,10 @@ class RecordImporter(BaseImporter):
 
     requires_separate_validation_branch = False
 
-    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood):
+    def read_data_set(self, loader_name, path, train_ratio, test_ratio, neighborhood,
+                      normalize=True):
         import os
-        del train_ratio, test_ratio, neighborhood
+        del train_ratio, test_ratio, neighborhood, normalize
         record_dir = path if os.path.isdir(path) else os.path.dirname(path) or "."
         if not path.endswith(".npz") and \
                 os.path.exists(os.path.join(record_dir, "metadata.tfrecord")):
