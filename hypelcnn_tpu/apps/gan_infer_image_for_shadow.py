@@ -65,9 +65,8 @@ def main(argv=None) -> None:
         make_them_shadow = "none"
 
     h, w = scene_shape
-    pixels = np.asarray(data_set.casi[:h, :w, :band_size]
-                        if data_set.neighborhood == 0 else
-                        data_set.casi[:h, :w, :band_size], dtype=np.float32)
+    n = data_set.neighborhood  # 0 here (loader loaded unpadded); crop handles any n
+    pixels = np.asarray(data_set.casi[n:n + h, n:n + w, :band_size], dtype=np.float32)
 
     if make_them_shadow == "none":
         converted = pixels

@@ -173,13 +173,13 @@ def main(argv=None) -> None:
         study.optimize(objective_func, n_trials=flags.opt_trial_count)
     else:
         print("Running on training mode")
-        if flags.algorithm_param_path is not None:
-            with open(flags.algorithm_param_path, "r", encoding="utf-8") as fid:
-                algorithm_params = json.load(fid)
-        else:
-            algorithm_params = nn_model.default_params()
-            if not algorithm_params:
-                raise IOError("Algorithm parameter file is not given")
+        from hypelcnn_tpu.core.config import load_algorithm_params
+        # model defaults overlaid with the modelconfig JSON (a partial JSON
+        # therefore works; the reference required a complete file)
+        algorithm_params = load_algorithm_params(nn_model.default_params(),
+                                                 flags.algorithm_param_path)
+        if not algorithm_params:
+            raise IOError("Algorithm parameter file is not given")
         algorithm_params["batch_size"] = flags.batch_size
         perform_an_episode(flags, algorithm_params, nn_model,
                            os.path.join(flags.base_log_path, get_log_suffix(flags)))

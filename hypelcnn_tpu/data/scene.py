@@ -119,8 +119,12 @@ class Scene:
 
     # ---- device-side scene + batched gather (the TPU path) ----
 
-    def device_scene(self, dtype=jnp.float32) -> jax.Array:
-        """The fused scene array, cached on device (HBM-resident)."""
+    def device_scene(self) -> jax.Array:
+        """The fused float32 scene array, cached on device (HBM-resident).
+
+        Always float32: compute dtype is the model's concern (its first
+        operation casts), and a dtype-keyed cache invited silent staleness.
+        """
         if self._device_scene is None:
             parts = []
             if self.casi is not None:
@@ -128,7 +132,7 @@ class Scene:
             if self.lidar is not None:
                 parts.append(np.asarray(self.lidar, dtype=np.float32))
             fused = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=2)
-            self._device_scene = jnp.asarray(fused, dtype=dtype)
+            self._device_scene = jnp.asarray(fused)
         return self._device_scene
 
     def gather_batch(self, coords: jax.Array) -> jax.Array:

@@ -78,11 +78,22 @@ def nce_loss(query_feats: jax.Array, key_feats: jax.Array, tau: float) -> jax.Ar
     return jnp.mean(per_example)
 
 
-def l2_regularization(params, scale: float) -> jax.Array:
+def l2_regularization(params, scale: float, exclude: tuple = ()) -> jax.Array:
     """Sum of 0.5*scale*||w||^2 over kernel params (tf-slim l2_regularizer
-    semantics: ``scale * 0.5 * l2norm(w)^2``)."""
+    semantics: ``scale * 0.5 * l2norm(w)^2``).
+
+    ``exclude`` skips kernels whose module name matches — the reference's
+    discriminator declares its final layer with ``weights_regularizer=None``
+    (`gan/shadow_data_models.py:117-121`), so callers pass
+    ``exclude=("fc3",)`` for it.
+    """
+    def keep(path):
+        if not path or getattr(path[-1], "key", "") != "kernel":
+            return False
+        return not any(getattr(part, "key", "") in exclude for part in path)
+
     leaves = [p for path, p in jax.tree_util.tree_leaves_with_path(params)
-              if path and getattr(path[-1], "key", "") == "kernel"]
+              if keep(path)]
     if not leaves:
         return jnp.zeros(())
     return scale * 0.5 * sum(jnp.sum(jnp.square(w)) for w in leaves)

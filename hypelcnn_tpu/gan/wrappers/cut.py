@@ -92,7 +92,7 @@ def make_cut_substeps(generator, discriminator, feat_discriminator, config, txs)
             d_gen = d_apply({"params": dp}, gen_data, x)
             d_real = d_apply({"params": dp}, y, x)
             return (least_squares_discriminator_loss(d_real, d_gen)
-                    + l2_regularization(dp, disc_reg_scale))
+                    + l2_regularization(dp, disc_reg_scale, exclude=("fc3",)))
 
         d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(params["disc"])
         new_disc, disc_opt = apply_update(txs["disc"], d_grads, opt_states["disc"], params["disc"])

@@ -125,7 +125,7 @@ class CycleGANTrainer(GANTrainerBase):
                 loss_y2x = least_squares_discriminator_loss(
                     d_apply({"params": dp["disc_y2x"]}, x, y),
                     d_apply({"params": dp["disc_y2x"]}, pooled_x, y))
-                reg = l2_regularization(dp, self.disc_reg_scale)
+                reg = l2_regularization(dp, self.disc_reg_scale, exclude=("fc3",))
                 return loss_x2y + loss_y2x + reg
 
             d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_params)

@@ -89,7 +89,7 @@ class VanillaGANTrainer(GANTrainerBase):
                 d_gen = disc_apply({"params": dp}, pooled_data, pooled_inputs)
                 d_real = disc_apply({"params": dp}, real_data, gen_inputs)
                 return (wasserstein_discriminator_loss(d_real, d_gen)
-                        + l2_regularization(dp, self.disc_reg_scale))
+                        + l2_regularization(dp, self.disc_reg_scale, exclude=("fc3",)))
 
             d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(state.params["discriminator"])
             new_disc, new_disc_opt = apply_update(self.disc_tx, d_grads,

@@ -93,7 +93,8 @@ def predict_full_scene(module, variables, scene, batch_rows: int = 16,
     for row_start in range(0, padded_h, batch_rows):
         rs = min(row_start, height - batch_rows) if height >= batch_rows else 0
         block = np.asarray(sweep_rows(scene_dev, variables, rs))
-        result[rs:rs + batch_rows] = block
+        take = min(batch_rows, height - rs)
+        result[rs:rs + take] = block[:take]
     return result.astype(np.uint8)
 
 

@@ -53,11 +53,11 @@ class DUALCNNModule(nn.Module):
                         dtype=jnp.dtype(p.get("compute_dtype", "float32")))
 
     def _level(self, x: jax.Array, features: int, name: str, train: bool) -> jax.Array:
-        patch = x.shape[1]
-        outs = []
-        for k in range(1, patch + 1, 2):
-            outs.append(self._conv(features, k, f"{name}_conv{k}x{k}")(x, train=train))
-        return jnp.concatenate(outs, axis=-1)
+        from hypelcnn_tpu.models.layers import multi_scale_level
+        return multi_scale_level(
+            x, features,
+            lambda f, k, conv_name, _n=name: self._conv(f, k, f"{_n}_{conv_name}"),
+            train=train)
 
     @nn.compact
     def __call__(self, x: jax.Array, labels: jax.Array | None = None,

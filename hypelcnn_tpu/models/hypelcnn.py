@@ -103,6 +103,7 @@ class HYPELCNNModule(nn.Module):
         p = self.params_dict
         use_residual = p["use_residual"]
         level_filters = x.shape[-1] // 2
+        from hypelcnn_tpu.models.layers import multi_scale_level
         for index in range(p["spatial_hierarchy_level"]):
             feat = level_filters // (2 ** index)
             if feat == 0:
@@ -110,12 +111,10 @@ class HYPELCNNModule(nn.Module):
                     f"filter_count={p['filter_count']} too small for "
                     f"spatial_hierarchy_level={p['spatial_hierarchy_level']} "
                     f"(level {index} would have 0 filters)")
-            patch = x.shape[1]
-            elements = []
-            for k in range(1, patch + 1, 2):
-                elements.append(
-                    self._conv(feat, k, f"connector_{index}_conv{k}x{k}")(x, train=train))
-            nxt = jnp.concatenate(elements, axis=-1)
+            nxt = multi_scale_level(
+                x, feat,
+                lambda f, k, name, _i=index: self._conv(f, k, f"connector_{_i}_{name}"),
+                train=train)
             if use_residual:
                 nxt = nxt + scale_in_to_out(x, nxt, axis=-1)
             nxt_conv = self._conv(nxt.shape[-1], 1, f"connector_conv_{index}")(nxt, train=train)

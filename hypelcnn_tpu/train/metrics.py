@@ -62,8 +62,11 @@ def compute_metrics(confusion: np.ndarray) -> MetricsResult:
     with np.errstate(divide="ignore", invalid="ignore"):
         recall = np.where(row_sums > 0, diag / row_sums, 0.0)
         precision = np.where(col_sums > 0, diag / col_sums, 0.0)
-    present = row_sums > 0
-    mean_per_class = float(recall[present].mean()) if present.any() else 0.0
+    # tf.metrics.mean_per_class_accuracy semantics (the reference's AA,
+    # `common/common_nn_ops.py:252-253`): the mean runs over ALL classes,
+    # absent classes contributing 0 — unlike sklearn's balanced accuracy,
+    # which averages only present classes
+    mean_per_class = float(recall.mean())
 
     expected = float((row_sums * col_sums).sum() / (total * total))
     kappa = float((overall - expected) / (1.0 - expected)) if expected < 1.0 else 0.0

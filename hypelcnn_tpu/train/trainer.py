@@ -250,7 +250,7 @@ class ClassificationTrainer:
         if self.log_dir and self.save_checkpoint_steps:
             # auto-resume from the latest checkpoint (MonitoredTrainingSession
             # parity, reference classify/monitored_session_runner.py:173-180)
-            restored = self.restore_checkpoint()
+            restored = self.restore_checkpoint(template=state)
             if restored is not None and int(restored.step) > 0:
                 # re-replicate over the mesh; a TP run resumes with replicated
                 # params (still correct — jit resharding re-establishes the
@@ -377,7 +377,9 @@ class ClassificationTrainer:
         from hypelcnn_tpu.train.checkpoint import save_checkpoint
         save_checkpoint(self.log_dir, state)
 
-    def restore_checkpoint(self) -> Optional[TrainState]:
+    def restore_checkpoint(self, template: Optional[TrainState] = None
+                           ) -> Optional[TrainState]:
         from hypelcnn_tpu.train.checkpoint import restore_checkpoint
-        template = self.init_state()
+        if template is None:
+            template = self.init_state()  # shapes only; reuse fit()'s state when possible
         return restore_checkpoint(self.log_dir, template)

@@ -55,6 +55,15 @@ class TestMetrics:
         assert res.mean_per_class_accuracy == pytest.approx(
             balanced_accuracy_score(labels, preds), abs=1e-10)
 
+    def test_mean_per_class_counts_absent_classes_as_zero(self):
+        # tf.metrics.mean_per_class_accuracy semantics (reference AA):
+        # absent classes contribute 0 to the mean over ALL classes
+        conf = np.zeros((4, 4), dtype=int)
+        conf[0, 0] = 10
+        conf[1, 1] = 10  # classes 2, 3 absent from the eval split
+        res = compute_metrics(conf)
+        assert res.mean_per_class_accuracy == pytest.approx(0.5)
+
     def test_epoch_index_stream_covers_epoch(self):
         rng = np.random.default_rng(0)
         stream = make_epoch_index_stream(10, 2, 5, rng)
