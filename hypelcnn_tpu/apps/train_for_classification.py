@@ -126,7 +126,8 @@ def perform_an_episode(flags, algorithm_params, model, base_log_path) -> Trainin
         log_dir=base_log_path,
         save_checkpoint_steps=flags.save_checkpoint_steps,
         validation_cadence=flags.validation_steps if flags.perform_validation else None,
-        sources=data.sources, data_shape=data.data_shape)
+        sources=data.sources, data_shape=data.data_shape,
+        log_model_params=bool(flags.log_model_params))
 
     start = time.time()
     result = trainer.fit(required_steps, batch_size,

@@ -40,7 +40,7 @@ from hypelcnn_tpu.core.rng import RngPool
 from hypelcnn_tpu.data.augmentation import AugmentationInfo, augment_batch
 from hypelcnn_tpu.data.loaders.base import SampleSet
 from hypelcnn_tpu.models.base import NNModel
-from hypelcnn_tpu.parallel.mesh import DATA_AXIS, create_mesh
+from hypelcnn_tpu.parallel.mesh import DATA_AXIS, create_mesh, pad_to_multiple
 from hypelcnn_tpu.train.metrics import MetricsResult, compute_metrics, confusion_update
 from hypelcnn_tpu.train.optimizer import build_optimizer
 from hypelcnn_tpu.train.state import TrainState
@@ -82,7 +82,8 @@ class ClassificationTrainer:
                  validation_cadence: Optional[int] = None,
                  required_steps: Optional[int] = None,
                  sources: Optional[Dict[str, Any]] = None,
-                 data_shape: Optional[list] = None):
+                 data_shape: Optional[list] = None,
+                 log_model_params: bool = False):
         from hypelcnn_tpu.data.importers import ScenePatchSource
         self.model = model
         self.class_count = class_count
@@ -102,6 +103,7 @@ class ClassificationTrainer:
         self.test_cadence = test_cadence
         self.validation_cadence = validation_cadence
         self.required_steps = required_steps
+        self.log_model_params = log_model_params
 
         self.module = model.create_module(class_count, algorithm_params)
         self.tx, self.schedule = build_optimizer(algorithm_params)
@@ -130,6 +132,11 @@ class ClassificationTrainer:
             # tensor parallelism: wide kernels column-sharded over the model
             # axis; optimizer state inherits the placement from tx.init
             params = shard_params_for_tp(params, self.mesh)
+        else:
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+        # batch_stats ride the mesh replicated so the whole state shares one
+        # device set (jit rejects mixed single-device/mesh arguments)
+        batch_stats = jax.device_put(batch_stats, NamedSharding(self.mesh, P()))
         return TrainState.create(params, batch_stats, self.tx)
 
     # ---- jitted steps ----
@@ -190,20 +197,41 @@ class ClassificationTrainer:
         return jax.jit(chunk_fn, donate_argnums=(0,),
                        in_shardings=(None, repl, batch_sh3, repl))
 
-    def _build_eval_step(self, split: str):
+    def _build_eval_drain(self, split: str):
+        """One jitted dispatch per evaluation: ``lax.scan`` over eval batches.
+
+        The round-1 evaluator dispatched one jit call per 8192-target batch;
+        at tunnel dispatch latencies (0.25-5 s) a big validation set cost
+        seconds of pure overhead.  The scan drains every batch on-device and
+        returns the finished confusion matrix.
+        """
         module = self.module
         source = self.sources[split]
+        class_count = self.class_count
 
-        def eval_fn(params, batch_stats, arrays, idx, coords, label_ids, mask, confusion):
-            patches = source.gather(arrays, idx, coords)
+        def drain_fn(params, batch_stats, arrays, idx, coords, label_ids, mask):
+            # idx/coords/label_ids/mask: [num_batches, batch(, 2)]
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            out = module.apply(variables, patches, train=False)
-            preds = jnp.argmax(out.y_conv, axis=1)
-            return confusion_update(confusion, label_ids, preds, mask)
 
-        return jax.jit(eval_fn)
+            def body(confusion, inp):
+                idx_b, coords_b, labels_b, mask_b = inp
+                patches = source.gather(arrays, idx_b, coords_b)
+                out = module.apply(variables, patches, train=False)
+                preds = jnp.argmax(out.y_conv, axis=1)
+                return confusion_update(confusion, labels_b, preds, mask_b), None
+
+            confusion0 = jnp.zeros((class_count, class_count), dtype=jnp.int32)
+            confusion, _ = jax.lax.scan(body, confusion0,
+                                        (idx, coords, label_ids, mask))
+            return confusion
+
+        # params/batch_stats/arrays keep their own placement (TP params are
+        # model-sharded); only the batch tables are pinned to the data axis
+        batch_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.jit(drain_fn, in_shardings=(None, None, None, batch_sh,
+                                               batch_sh, batch_sh, batch_sh))
 
     # ---- evaluation drains ----
 
@@ -215,29 +243,29 @@ class ClassificationTrainer:
         if self._eval_step is None:
             self._eval_step = {}
         if split not in self._eval_step:
-            self._eval_step[split] = self._build_eval_step(split)
+            self._eval_step[split] = self._build_eval_drain(split)
         targets = {"training": self.sample_set.training_targets,
                    "test": self.sample_set.test_targets,
                    "validation": self.sample_set.validation_targets}[split]
         n = targets.shape[0]
         if n == 0:
             return compute_metrics(np.zeros((self.class_count, self.class_count)))
-        confusion = jnp.zeros((self.class_count, self.class_count), dtype=jnp.int32)
-        coords_all = np.asarray(targets[:, :2], dtype=np.int32)
-        labels_all = np.asarray(targets[:, 2], dtype=np.int32)
+        # batch must divide over the data axis; tiny splits shrink to one batch
+        data_size = self.mesh.shape[DATA_AXIS]
+        batch_size = pad_to_multiple(min(batch_size, n), data_size)
+        num_batches = math.ceil(n / batch_size)
+        total = num_batches * batch_size
+        pad = total - n
+        idx = np.pad(np.arange(n, dtype=np.int32), (0, pad)).reshape(num_batches, batch_size)
+        coords = np.pad(np.asarray(targets[:, :2], dtype=np.int32),
+                        ((0, pad), (0, 0))).reshape(num_batches, batch_size, 2)
+        labels = np.pad(np.asarray(targets[:, 2], dtype=np.int32),
+                        (0, pad)).reshape(num_batches, batch_size)
+        mask = np.pad(np.ones(n, dtype=np.int32), (0, pad)).reshape(num_batches, batch_size)
         arrays = self.sources[split].device_arrays()
-        for start in range(0, n, batch_size):
-            end = min(start + batch_size, n)
-            pad = batch_size - (end - start)
-            idx = np.pad(np.arange(start, end, dtype=np.int32), (0, pad))
-            coords = np.pad(coords_all[start:end], ((0, pad), (0, 0)))
-            labels = np.pad(labels_all[start:end], (0, pad))
-            mask = np.pad(np.ones(end - start, dtype=np.int32), (0, pad))
-            confusion = self._eval_step[split](state.params, state.batch_stats,
-                                               arrays,
-                                               jnp.asarray(idx), jnp.asarray(coords),
-                                               jnp.asarray(labels),
-                                               jnp.asarray(mask), confusion)
+        confusion = self._eval_step[split](state.params, state.batch_stats, arrays,
+                                           jnp.asarray(idx), jnp.asarray(coords),
+                                           jnp.asarray(labels), jnp.asarray(mask))
         return compute_metrics(np.asarray(confusion))
 
     # ---- the training loop ----
@@ -252,13 +280,12 @@ class ClassificationTrainer:
             # parity, reference classify/monitored_session_runner.py:173-180)
             restored = self.restore_checkpoint(template=state)
             if restored is not None and int(restored.step) > 0:
-                # re-replicate over the mesh; a TP run resumes with replicated
-                # params (still correct — jit resharding re-establishes the
-                # compute layout; re-applying shard_params_for_tp to params
-                # AND optimizer state is a future optimization)
-                repl = NamedSharding(self.mesh, P())
+                # restore INTO the freshly-initialized state's layout: params
+                # carry the TP column-sharding from shard_params_for_tp and
+                # opt_state inherits it via tx.init, so a TP run resumes
+                # directly into the sharded placement (no replicated detour)
                 state = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, repl), restored)
+                    lambda r, t: jax.device_put(r, t.sharding), restored, state)
                 resume_step = min(int(restored.step), num_steps)
                 print(f"Resuming from checkpoint at step {resume_step}")
 
@@ -284,8 +311,13 @@ class ClassificationTrainer:
         def crossed(cadence: int, start: int, end: int) -> bool:
             return cadence and (end // cadence) > (start // cadence)
 
+        # chief-only I/O: on a multi-host run only process 0 writes summaries,
+        # CSVs, history, and checkpoints (reference `is_chief = task == 0`,
+        # gan/gan_train_for_shadow.py:300); compute still runs on every host
+        from hypelcnn_tpu.parallel.distributed import is_chief
+        chief = is_chief()
         writer = None
-        if self.log_dir:
+        if self.log_dir and chief:
             from hypelcnn_tpu.train.summaries import SummaryWriter
             writer = SummaryWriter(self.log_dir)
             writer.text("algorithm_params", json.dumps(
@@ -315,6 +347,11 @@ class ClassificationTrainer:
                 if writer:
                     writer.scalar("loss", last_loss, end)
                     writer.scalar("learning_rate", float(self.schedule(end)), end)
+                    if self.log_model_params:
+                        # reference --log_model_params: histogram every model
+                        # variable on the summary cadence
+                        # (classify/monitored_session_runner.py:26-28)
+                        self._log_param_histograms(writer, state, end)
 
             if crossed(self.test_cadence, start, end) and end != num_steps \
                     and self.sample_set.test_targets.shape[0] > 0:
@@ -331,7 +368,7 @@ class ClassificationTrainer:
                 self.history.append({"step": end, "val_oa": val_metrics.overall_accuracy,
                                      "val_aa": val_metrics.mean_per_class_accuracy,
                                      "val_kappa": val_metrics.kappa})
-                if self.log_dir:
+                if self.log_dir and chief:
                     os.makedirs(self.log_dir, exist_ok=True)
                     np.savetxt(os.path.join(self.log_dir, f"validation_confusion_{end}.csv"),
                                val_metrics.confusion, fmt="%d", delimiter=",")
@@ -340,16 +377,16 @@ class ClassificationTrainer:
                                   val_metrics.overall_accuracy, end)
                     writer.scalar("validation_kappa", val_metrics.kappa, end)
 
-            if self.save_checkpoint_steps and self.log_dir \
+            if self.save_checkpoint_steps and self.log_dir and chief \
                     and crossed(self.save_checkpoint_steps, start, end):
                 self.save_checkpoint(state)
             start = end
 
         if writer:
             writer.close()
-        if self.save_checkpoint_steps and self.log_dir:
+        if self.save_checkpoint_steps and self.log_dir and chief:
             self.save_checkpoint(state)  # final save (MonitoredTrainingSession parity)
-        if self.log_dir and self.history:
+        if self.log_dir and chief and self.history:
             os.makedirs(self.log_dir, exist_ok=True)
             with open(os.path.join(self.log_dir, "history.jsonl"), "w", encoding="utf-8") as fid:
                 for rec in self.history:
@@ -370,6 +407,21 @@ class ClassificationTrainer:
             validation_metrics=val_metrics,
             test_metrics=test_metrics,
             history=self.history)
+
+    def _log_param_histograms(self, writer, state: TrainState, step: int) -> None:
+        """Histogram every model variable (params + BN moving stats) — the
+        reference's ``--log_model_params`` path, which histograms each slim
+        model variable on the summary cadence
+        (`classify/monitored_session_runner.py:26-28`)."""
+        def emit(prefix: str, tree) -> None:
+            leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+            for path, leaf in leaves:
+                name = prefix + "/".join(
+                    str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+                writer.histogram(name, np.asarray(leaf), step)
+        emit("params/", state.params)
+        if state.batch_stats:
+            emit("batch_stats/", state.batch_stats)
 
     # ---- checkpointing (orbax; reference Saver semantics `:164-168`) ----
 

@@ -122,6 +122,53 @@ class TestTensorParallel:
             losses[name] = result.loss
         assert losses["tp"] == pytest.approx(losses["dp"], rel=1e-3)
 
+    def test_tp_resume_restores_sharded_layout(self, tmp_path):
+        """Checkpoint resume under TP must land params AND optimizer state
+        back in the column-sharded placement, not a replicated detour."""
+        from hypelcnn_tpu.core.registry import get_importer_from_name
+        from hypelcnn_tpu.models import HYPELCNNModel
+        from hypelcnn_tpu.train.trainer import ClassificationTrainer
+
+        importer = get_importer_from_name("GeneratorImporter")
+        data = importer.read_data_set(
+            "SyntheticDataLoader", "synthetic://?h=48&w=64&bands=12&classes=5&seed=3",
+            train_ratio=0.5, test_ratio=0.1, neighborhood=1)
+        params = {"batch_size": 16, "drop_out_ratio": 0.0, "learning_rate": 1e-3,
+                  "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+                  "lrelu_alpha": 0.18, "bn_decay": 0.95, "filter_count": 64,
+                  "spectral_hierarchy_level": 2, "spatial_hierarchy_level": 1,
+                  "degradation_coeff": 3, "use_residual": True,
+                  "optimizer": "AdamOptimizer"}
+
+        def make_trainer():
+            np.random.seed(0)
+            return ClassificationTrainer(
+                model=HYPELCNNModel(), class_count=data.class_count,
+                algorithm_params=params, scene=data.scene,
+                sample_set=data.sample_set, sources=data.sources,
+                data_shape=data.data_shape, mesh=create_mesh(model_parallel=2),
+                log_dir=str(tmp_path), save_checkpoint_steps=2)
+
+        make_trainer().fit(num_steps=2, batch_size=16, log_every=2)
+        resumed = make_trainer()
+        # checkpoint is at step 2 == num_steps: fit resumes and returns the
+        # restored state untouched
+        resumed.fit(num_steps=2, batch_size=16, log_every=2)
+        state = resumed.final_state
+
+        def wide_kernel_specs(tree):
+            leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+            return [leaf.sharding.spec for path, leaf in leaves
+                    if getattr(path[-1], "key", "") == "kernel"
+                    and leaf.ndim >= 2 and leaf.shape[-1] >= 64
+                    and leaf.shape[-1] % 2 == 0]
+
+        param_specs = wide_kernel_specs(state.params)
+        assert param_specs and all(s[-1] == MODEL_AXIS for s in param_specs)
+        # Adam mu/nu mirror the param placement
+        opt_specs = wide_kernel_specs(state.opt_state)
+        assert opt_specs and all(s[-1] == MODEL_AXIS for s in opt_specs)
+
     def test_shard_params_for_tp_placement(self):
         import jax.numpy as jnp
         from hypelcnn_tpu.parallel.mesh import shard_params_for_tp

@@ -130,6 +130,36 @@ class TestTraining:
         for a, b in zip(leaves, orig):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_log_model_params_writes_histograms(self, synthetic_loader, tmp_path,
+                                                 monkeypatch):
+        """--log_model_params histograms every model variable on the summary
+        cadence (reference classify/monitored_session_runner.py:26-28)."""
+        from hypelcnn_tpu.train.summaries import SummaryWriter
+        calls = []
+        monkeypatch.setattr(SummaryWriter, "histogram",
+                            lambda self, tag, values, step: calls.append((tag, step)))
+        np.random.seed(0)
+        trainer, _ = make_trainer(synthetic_loader, log_dir=str(tmp_path))
+        trainer.log_model_params = True
+        trainer.fit(num_steps=10, batch_size=16, log_every=10)
+        assert calls  # histograms were emitted
+        tags = {tag for tag, _ in calls}
+        assert any(tag.startswith("params/") for tag in tags)
+        assert any(tag.endswith("kernel") for tag in tags)
+
+    def test_non_chief_process_writes_nothing(self, synthetic_loader, tmp_path,
+                                              monkeypatch):
+        """On a multi-host run only the chief performs I/O; simulate a
+        non-zero process index and assert the log dir stays empty."""
+        import hypelcnn_tpu.parallel.distributed as dist
+        monkeypatch.setattr(dist.jax, "process_index", lambda: 1)
+        np.random.seed(0)
+        trainer, _ = make_trainer(synthetic_loader, log_dir=str(tmp_path),
+                                  save_checkpoint_steps=10)
+        result = trainer.fit(num_steps=10, batch_size=16, log_every=10)
+        assert np.isfinite(result.loss)
+        assert os.listdir(str(tmp_path)) == []
+
     def test_record_importer_roundtrip(self, tmp_path):
         from hypelcnn_tpu.utils.record_writer import write_records
         np.random.seed(0)
