@@ -1,29 +1,82 @@
-"""Benchmark: HYPELCNN training throughput on one chip.
+"""Benchmark: HYPELCNN training + full-scene inference on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
-The reference publishes no numbers (BASELINE.md); its documented setup is the
-HYPELCNN modelconfig (filter_count=480, batch 48, `nnmodel/modelconfigs/
-alg_param_hypelcnn.json`) on GRSS2013-scale data (144-band CASI + LiDAR,
-15 classes).  We measure steady-state training patches/sec/chip on a
-synthetic scene of that scale with the full pipeline (on-device window
-gather + augmentation + forward/backward + optimizer).  ``vs_baseline``
-compares against a conservative estimate of the TF1 reference's single-GPU
-throughput on this workload (~1000 patches/s: batch 48 at ~20 steps/s with
-a host-side feed pipeline).
+Workload: the reference's documented flagship — HYPELCNN (filter_count=480,
+`nnmodel/modelconfigs/alg_param_hypelcnn.json`) on a TRUE GRSS2013-scale
+scene (349x1905, 144-band CASI + 1-band LiDAR, 15 classes — dims per
+`loader/GRSS2013DataLoader.py:94-95`), with the full training pipeline
+on-device: window gather + rotation/reflection augmentation +
+forward/backward + Adam, batch 2048 bfloat16, scan-chunked (50 steps per
+dispatch), median of 10 measurement windows (the shared chip swings 25x
+between windows; only the median is meaningful).
+
+``vs_baseline`` compares against a MEASURED number: the TF reference's own
+hot loop (`classify/monitored_session_runner.py:182-184`) run in this image
+via ``scripts/measure_tf_reference.py`` and recorded in
+``BASELINE_TF_MEASURED.json``.  The reference publishes no numbers
+(BASELINE.md); if the measured baseline file is absent, ``vs_baseline`` is
+null — never an invented constant.  Caveat carried in ``extras``: the
+reference measurement runs on CPU (this image has no CUDA GPU; the
+reference's documented setup is a single GPU).
+
+``extras`` adds: MFU + achieved FLOP/s for the training step (FLOPs from
+XLA's own cost analysis of the compiled program, peak from the device kind),
+and the full-scene inference sweep (entire 349x1905 scene classified in one
+jitted dispatch) as a second machine-readable metric.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_PATCHES_PER_SEC = 1000.0  # estimated TF reference throughput (no published number)
+# bf16 peak FLOP/s per chip by TPU generation (public spec sheets)
+PEAK_BF16_FLOPS = {
+    "v4": 275e12,
+    "v5lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6": 918e12,  # Trillium
+    "v6e": 918e12,
+}
+
+
+def peak_flops_for(device_kind: str):
+    kind = device_kind.lower().replace(" ", "")
+    for key, flops in sorted(PEAK_BF16_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if key in kind:
+            return flops
+    return None
+
+
+def load_measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_TF_MEASURED.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _flops_of(compiled) -> float:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0)) if cost else 0.0
 
 
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny shapes for a CPU correctness pass; NOT a benchmark")
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -31,18 +84,24 @@ def main() -> None:
     from hypelcnn_tpu.data.loaders.synthetic import SyntheticDataLoader
     from hypelcnn_tpu.models import HYPELCNNModel
 
-    # GRSS2013-scale synthetic scene: 144-band CASI + LiDAR, 15 classes
-    loader = SyntheticDataLoader("synthetic://?h=128&w=256&bands=144&classes=15")
+    # TRUE GRSS2013-scale synthetic scene: 349x1905, 144-band CASI + LiDAR,
+    # 15 classes — ~385 MB resident in HBM (the SURVEY §7 residency case)
+    scene_url = ("synthetic://?h=64&w=96&bands=8&classes=15" if args.smoke
+                 else "synthetic://?h=349&w=1905&bands=144&classes=15")
+    loader = SyntheticDataLoader(scene_url)
     scene = loader.load_data(neighborhood=1, normalize=True)
     np.random.seed(0)
-    samples = loader.load_samples(train_data_ratio=0.3, test_data_ratio=0.05)
+    ratios = (0.3, 0.1) if args.smoke else (0.1, 0.02)
+    samples = loader.load_samples(train_data_ratio=ratios[0], test_data_ratio=ratios[1])
 
     from hypelcnn_tpu.train.trainer import ClassificationTrainer
 
     model = HYPELCNNModel()
-    batch_size = 2048  # TPU-native batch; the MXU is idle at the reference's 48
+    batch_size = 64 if args.smoke else 2048  # MXU is idle at the reference's 48
     algorithm_params = {**model.default_params(), "batch_size": batch_size,
                         "compute_dtype": "bfloat16"}
+    if args.smoke:
+        algorithm_params["filter_count"] = 32
 
     trainer = ClassificationTrainer(
         model=model, class_count=15, algorithm_params=algorithm_params,
@@ -51,7 +110,7 @@ def main() -> None:
                                            perform_reflection_augmentation=True),
         test_cadence=10 ** 9)
 
-    # build + compile the scan-chunked train step directly
+    # ---- training throughput: compiled scan chunk, median of 10 windows ----
     train = samples.training_targets
     coords_table = jnp.asarray(train[:, :2].astype(np.int32))
     labels_table = jnp.asarray(train[:, 2].astype(np.int32))
@@ -59,30 +118,74 @@ def main() -> None:
     step_fn = trainer._build_train_chunk(coords_table, labels_table)
     state = trainer.init_state()
 
-    chunk = 50
+    chunk = 4 if args.smoke else 50
     arrays = trainer.sources["training"].device_arrays()
     idx = jnp.asarray(np.random.randint(0, train.shape[0],
                                         size=(chunk, batch_size)).astype(np.int32))
     step_nos = jnp.arange(chunk, dtype=jnp.uint32)
-    state, losses = step_fn(state, arrays, idx, step_nos)  # compile + warm
+    lowered = step_fn.lower(state, arrays, idx, step_nos)
+    compiled = lowered.compile()
+    chunk_flops = _flops_of(compiled)
+
+    state, losses = compiled(state, arrays, idx, step_nos)  # warm
     losses.block_until_ready()
 
-    # median over measurement windows: the shared-chip environment has rare
-    # contended windows that would otherwise dominate a single mean
     windows = []
     for _ in range(10):
         t0 = time.time()
-        state, losses = step_fn(state, arrays, idx, step_nos)
+        state, losses = compiled(state, arrays, idx, step_nos)
         losses.block_until_ready()
         windows.append(time.time() - t0)
     elapsed = float(np.median(windows))
-
     patches_per_sec = chunk * batch_size / elapsed
+
+    device_kind = jax.devices()[0].device_kind
+    peak = peak_flops_for(device_kind)
+    achieved_flops = chunk_flops / elapsed if chunk_flops else None
+    mfu = (achieved_flops / peak) if (achieved_flops and peak) else None
+
+    # ---- full-scene inference: one jitted scan sweep over the whole scene ----
+    from hypelcnn_tpu.infer.scene_inference import predict_full_scene_scan
+    infer_vars = {"params": state.params}
+    if state.batch_stats:
+        infer_vars["batch_stats"] = state.batch_stats
+    height, width = scene.get_scene_shape()
+    _ = predict_full_scene_scan(trainer.module, infer_vars, scene)  # compile + warm
+    sweep_windows = []
+    for _ in range(5):
+        t0 = time.time()
+        _ = predict_full_scene_scan(trainer.module, infer_vars, scene)
+        sweep_windows.append(time.time() - t0)
+    sweep_s = float(np.median(sweep_windows))
+
+    baseline = load_measured_baseline()
+    vs_baseline = (round(patches_per_sec / baseline["value"], 2)
+                   if baseline and baseline.get("value") else None)
+
     print(json.dumps({
         "metric": "hypelcnn_train_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 1),
         "unit": "patches/s",
-        "vs_baseline": round(patches_per_sec / REFERENCE_PATCHES_PER_SEC, 2),
+        "vs_baseline": vs_baseline,
+        "extras": {
+            "device_kind": device_kind,
+            "scene": f"{height}x{width}x{scene.get_data_shape()[2]}"
+                     + (" (smoke)" if args.smoke else " (GRSS2013 scale, HBM-resident)"),
+            "batch_size": batch_size,
+            "train_step_ms": round(elapsed / chunk * 1e3, 3),
+            "train_flops_per_step": round(chunk_flops / chunk) if chunk_flops else None,
+            "train_achieved_tflops": round(achieved_flops / 1e12, 2) if achieved_flops else None,
+            "train_mfu": round(mfu, 4) if mfu is not None else None,
+            "peak_bf16_tflops": round(peak / 1e12) if peak else None,
+            "full_scene_inference_s": round(sweep_s, 3),
+            "full_scene_pixels_per_sec": round(height * width / sweep_s),
+            "baseline": None if baseline is None else {
+                "value": baseline["value"], "unit": baseline["unit"],
+                "batch_size": baseline.get("batch_size"),
+                "device": baseline.get("device"),
+                "provenance": baseline.get("provenance"),
+            },
+        },
     }))
 
 

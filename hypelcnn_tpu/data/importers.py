@@ -239,7 +239,11 @@ class RecordImporter(BaseImporter):
         sample_targets = {}
         data_shape = None
         for split, (patches, labels) in splits.items():
-            # no (x, y) positions in record files; targets carry labels only
+            # the reference record format stores ONLY {label, image}
+            # (`utilities/tfrecord_writer.py:61-62`) — positions never
+            # existed, so zero (x, y) is exact parity, and anything needing
+            # scene coordinates (scene scatter, target rasterization) must
+            # use a scene-backed importer instead
             targets = np.zeros((labels.shape[0], 3), dtype=np.int32)
             targets[:, 2] = labels
             sample_targets[split] = targets

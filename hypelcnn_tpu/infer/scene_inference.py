@@ -98,6 +98,49 @@ def predict_full_scene(module, variables, scene, batch_rows: int = 16,
     return result.astype(np.uint8)
 
 
+def predict_full_scene_scan(module, variables, scene, batch_rows: int = 16,
+                            mesh=None) -> np.ndarray:
+    """Classify every pixel in ONE jitted dispatch (``lax.scan`` over bands).
+
+    Same sweep as :func:`predict_full_scene`, but the loop over row-bands
+    runs on-device: at tunnel dispatch latencies (0.25-5 s per call) the
+    per-band dispatch loop costs more than the compute itself.  The band
+    row-starts are precomputed (last band clamped into range), so every
+    scan step is the same static-shape program.
+    """
+    height, width = scene.get_scene_shape()
+    k = 2 * scene.neighborhood + 1
+    scene_dev = scene.device_scene()
+    n_bands = (height + batch_rows - 1) // batch_rows
+    row_starts = np.minimum(np.arange(n_bands, dtype=np.int32) * batch_rows,
+                            max(height - batch_rows, 0)).astype(np.int32)
+
+    @jax.jit
+    def sweep(sc, v, starts):
+        def body(carry, row_start):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 0) + row_start
+            cols = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 1)
+            coords = jnp.stack([cols.reshape(-1), rows.reshape(-1)], axis=1)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from hypelcnn_tpu.parallel.mesh import DATA_AXIS
+                coords = jax.lax.with_sharding_constraint(
+                    coords, NamedSharding(mesh, P(DATA_AXIS, None)))
+            from hypelcnn_tpu.ops.window_gather import gather_patches_xla
+            patches = gather_patches_xla(sc, coords, k)
+            out = module.apply(v, patches, train=False)
+            return carry, jnp.argmax(out.y_conv, axis=1).astype(jnp.int32).reshape(batch_rows, width)
+        _, blocks = jax.lax.scan(body, None, starts)
+        return blocks
+
+    blocks = np.asarray(sweep(scene_dev, variables, jnp.asarray(row_starts)))
+    result = np.empty((height, width), dtype=np.int32)
+    for rs, block in zip(row_starts, blocks):
+        take = min(batch_rows, height - rs)
+        result[rs:rs + take] = block[:take]
+    return result.astype(np.uint8)
+
+
 def create_colored_image(target_image: np.ndarray, color_list: np.ndarray) -> np.ndarray:
     """Class map -> RGB via LUT (reference `common/common_nn_ops.py:455-462`),
     vectorized."""

@@ -283,9 +283,18 @@ class ClassificationTrainer:
                 # restore INTO the freshly-initialized state's layout: params
                 # carry the TP column-sharding from shard_params_for_tp and
                 # opt_state inherits it via tx.init, so a TP run resumes
-                # directly into the sharded placement (no replicated detour)
-                state = jax.tree_util.tree_map(
-                    lambda r, t: jax.device_put(r, t.sharding), restored, state)
+                # directly into the sharded placement (no replicated detour).
+                # Leaves the template never placed on the mesh (the step
+                # scalar, optimizer counts) go replicated — device_put commits
+                # its result, and committed arrays on mismatched device sets
+                # are rejected by jit.
+                repl = NamedSharding(self.mesh, P())
+                def _restore_put(r, t):
+                    sharding = t.sharding
+                    if not isinstance(sharding, NamedSharding):
+                        sharding = repl
+                    return jax.device_put(r, sharding)
+                state = jax.tree_util.tree_map(_restore_put, restored, state)
                 resume_step = min(int(restored.step), num_steps)
                 print(f"Resuming from checkpoint at step {resume_step}")
 

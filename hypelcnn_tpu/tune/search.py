@@ -86,9 +86,23 @@ class Trial:
         self.params[name] = value
         return value
 
-    def suggest_int(self, name: str, low: int, high: int, step: int = 1) -> int:
-        value = self.suggest_float(name, low, high, step=step)
-        value = int(round(value))
+    def suggest_int(self, name: str, low: int, high: int, step: int = 1,
+                    log: bool = False) -> int:
+        """optuna's suggest_int semantics: uniform over the valid int grid
+        {low, low+step, ...} (not a rounded float draw, which would halve the
+        endpoint probabilities), log-uniform when ``log``."""
+        guided = self._guided_numeric(name, low, high, log) \
+            if self.study._n_completed() >= N_STARTUP else None
+        if guided is None:
+            if log:
+                value = math.exp(self._rng.uniform(math.log(low), math.log(high)))
+            else:
+                n_grid = (high - low) // step + 1
+                value = low + self._rng.randrange(n_grid) * step
+        else:
+            value = guided
+        value = int(low + round((value - low) / step) * step)
+        value = min(max(value, low), high)
         self.params[name] = value
         return value
 

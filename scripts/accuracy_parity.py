@@ -1,0 +1,141 @@
+"""Ready-to-run accuracy-parity experiment against the TF reference.
+
+The north star (BASELINE.json) is: GRSS2013 Houston full-scene classification
+on one chip in <10 s with OA within 0.5% of the TF reference.  The licensed
+GRSS2013 data is not in this image, so the experiment cannot run here — this
+script makes it a COMMAND instead of a project the moment the data appears:
+
+    python scripts/accuracy_parity.py --path /data/2013_DFTC/2013_DFTC \
+        [--reference_oa 0.83] [--steps 50000]
+
+It reproduces the reference's documented experiment setup
+(`common/cmd_parser.py:16-52` defaults + `classify/train_for_classification.py`
+episode flow + `nnmodel/modelconfigs/alg_param_hypelcnn.json`):
+train_ratio 0.10, test_ratio 0.05, HYPELCNN with the shipped modelconfig,
+rotation+reflection augmentation, then a full-scene inference sweep.
+
+Output: one JSON block with OA / AA / kappa / per-class accuracy, the
+full-scene sweep time, and — when ``--reference_oa`` is given — the delta
+vs the <0.5% parity target.  Also writes the raw and colorized scene maps.
+
+Works with any registered loader (``--loader_name``); synthetic smoke:
+
+    python scripts/accuracy_parity.py --loader_name SyntheticDataLoader \
+        --path "synthetic://?h=48&w=64&bands=24&classes=5" --steps 300 \
+        --train_ratio 0.2 --test_ratio 0.1 --batch_size 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--path", default="/data/2013_DFTC/2013_DFTC",
+                        help="dataset path (reference cmd_parser default)")
+    parser.add_argument("--loader_name", default="GRSS2013DataLoader")
+    parser.add_argument("--importer_name", default="GeneratorImporter")
+    parser.add_argument("--model_name", default="HYPELCNNModel")
+    parser.add_argument("--algorithm_param_path", default=None,
+                        help="modelconfig JSON; default: the HYPELCNN parity config")
+    parser.add_argument("--neighborhood", type=int, default=1)
+    parser.add_argument("--train_ratio", type=float, default=0.10)
+    parser.add_argument("--test_ratio", type=float, default=0.05)
+    parser.add_argument("--steps", type=int, default=50000,
+                        help="reference cmd_parser default training length")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="override modelconfig batch size (e.g. 2048 for TPU)")
+    parser.add_argument("--reference_oa", type=float, default=None,
+                        help="the TF reference's measured OA on the same split; "
+                             "enables the <0.5%% parity verdict")
+    parser.add_argument("--output_path", default="/tmp/parity_run")
+    args = parser.parse_args()
+
+    from hypelcnn_tpu.core.config import load_algorithm_params
+    from hypelcnn_tpu.core.registry import (get_importer_from_name,
+                                            get_model_from_name)
+    from hypelcnn_tpu.core.rng import set_run_seed
+    from hypelcnn_tpu.data.augmentation import AugmentationInfo
+    from hypelcnn_tpu.infer.scene_inference import (create_colored_image,
+                                                    predict_full_scene_scan)
+    from hypelcnn_tpu.train.trainer import ClassificationTrainer
+
+    set_run_seed()
+    model = get_model_from_name(args.model_name)
+    param_path = args.algorithm_param_path
+    if param_path is None:
+        import hypelcnn_tpu
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(hypelcnn_tpu.__file__)))
+        param_path = os.path.join(repo_root, "configs", "modelconfigs",
+                                  "alg_param_hypelcnn.json")
+    algorithm_params = load_algorithm_params(model.default_params(), param_path)
+    if args.batch_size is not None:
+        algorithm_params["batch_size"] = args.batch_size
+
+    importer = get_importer_from_name(args.importer_name)
+    data = importer.read_data_set(args.loader_name, args.path,
+                                  args.train_ratio, args.test_ratio,
+                                  args.neighborhood)
+
+    trainer = ClassificationTrainer(
+        model=model, class_count=data.class_count,
+        algorithm_params=algorithm_params, scene=data.scene,
+        sample_set=data.sample_set, sources=data.sources,
+        data_shape=data.data_shape,
+        augmentation_info=AugmentationInfo(perform_rotation_augmentation=True,
+                                           perform_reflection_augmentation=True))
+    t0 = time.time()
+    result = trainer.fit(args.steps, algorithm_params["batch_size"],
+                         progress_callback=lambda s, l: print(f"step {s}: loss={l:.4f}"))
+    train_s = time.time() - t0
+
+    metrics = result.test_metrics
+    report = {
+        "loader": args.loader_name,
+        "model": args.model_name,
+        "steps": args.steps,
+        "batch_size": algorithm_params["batch_size"],
+        "train_seconds": round(train_s, 1),
+        "test_oa": round(metrics.overall_accuracy, 5) if metrics else None,
+        "test_aa": round(metrics.mean_per_class_accuracy, 5) if metrics else None,
+        "test_kappa": round(metrics.kappa, 5) if metrics else None,
+    }
+
+    if data.scene is not None:
+        infer_vars = {"params": trainer.final_state.params}
+        if trainer.final_state.batch_stats:
+            infer_vars["batch_stats"] = trainer.final_state.batch_stats
+        predict_full_scene_scan(trainer.module, infer_vars, data.scene)  # compile
+        t0 = time.time()
+        scene_map = predict_full_scene_scan(trainer.module, infer_vars, data.scene)
+        report["full_scene_seconds"] = round(time.time() - t0, 3)
+        report["full_scene_target_met"] = report["full_scene_seconds"] < 10.0
+
+        os.makedirs(args.output_path, exist_ok=True)
+        np.save(os.path.join(args.output_path, "scene_map.npy"), scene_map)
+        color_list = getattr(data.loader, "get_samples_color_list", lambda: None)()
+        if color_list is not None:
+            from hypelcnn_tpu.utils.tiff_io import imwrite
+            imwrite(os.path.join(args.output_path, "scene_map_colorized.tif"),
+                    create_colored_image(scene_map, np.asarray(color_list)))
+
+    if args.reference_oa is not None and metrics is not None:
+        delta = metrics.overall_accuracy - args.reference_oa
+        report["reference_oa"] = args.reference_oa
+        report["oa_delta"] = round(delta, 5)
+        report["parity_target_met"] = bool(abs(delta) < 0.005 or delta > 0)
+
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(args.output_path, "parity_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
