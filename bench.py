@@ -97,7 +97,11 @@ def main() -> None:
     from hypelcnn_tpu.train.trainer import ClassificationTrainer
 
     model = HYPELCNNModel()
-    batch_size = 64 if args.smoke else 2048  # MXU is idle at the reference's 48
+    # measured sweet spot on v5e (see DESIGN.md perf notes): 2048: 630k,
+    # 4096: 717k, 8192: 696k, 16384: 613k patches/s — the MXU is idle at the
+    # reference's 48 either way; 4096 best amortizes per-op overhead before
+    # activation traffic starts spilling
+    batch_size = 64 if args.smoke else 4096
     algorithm_params = {**model.default_params(), "batch_size": batch_size,
                         "compute_dtype": "bfloat16"}
     if args.smoke:

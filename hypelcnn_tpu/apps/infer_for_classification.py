@@ -116,6 +116,7 @@ def main(argv=None) -> None:
     else:
         raise ValueError(f"Domain flags does not support value:{flags.domain}")
 
+    os.makedirs(flags.output_path, exist_ok=True)
     imwrite(os.path.join(flags.output_path, "result_raw.tif"), scene_as_image)
     imwrite(os.path.join(flags.output_path, "result_colorized.tif"),
             create_colored_image(scene_as_image, color_list))

@@ -14,6 +14,7 @@ parallelism": each chip sweeps a horizontal band of the scene.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -24,19 +25,49 @@ from hypelcnn_tpu.models.base import NNModel
 
 INVALID_TARGET_VALUE = 255  # reference common/common_nn_ops.py:20
 
+# The jitted sweep programs are cached by their static configuration.
+# Defining the @jax.jit closure inside each call would make every
+# invocation a fresh cache miss — through the remote-compile tunnel that
+# is ~20 s of recompile per call vs ~1 s of actual compute for a full
+# GRSS2013 scene.  Modules are keyed by identity (flax modules holding
+# dict attributes are unhashable); the cache keeps a strong reference to
+# the keyed module so its id cannot be recycled while the entry lives.
 
-def predict_targets(module, variables, scene, targets_xy: np.ndarray,
-                    batch_size: int = 4096) -> np.ndarray:
-    """Predict class ids for an explicit (x, y) target list."""
-    k = 2 * scene.neighborhood + 1
-    scene_dev = scene.device_scene()
+_PROGRAM_CACHE: Dict = {}
 
+
+def _module_cached(builder):
+    @functools.wraps(builder)
+    def lookup(module, *key_rest):
+        key = (builder.__name__, id(module), key_rest)
+        entry = _PROGRAM_CACHE.get(key)
+        if entry is not None and entry[0] is module:
+            return entry[1]
+        if len(_PROGRAM_CACHE) > 64:
+            _PROGRAM_CACHE.clear()
+        fn = builder(module, *key_rest)
+        _PROGRAM_CACHE[key] = (module, fn)
+        return fn
+    return lookup
+
+
+@_module_cached
+def _build_target_step(module, k: int):
     @jax.jit
     def step(sc, v, coords):
         from hypelcnn_tpu.ops.window_gather import gather_patches_xla
         patches = gather_patches_xla(sc, coords, k)
         out = module.apply(v, patches, train=False)
         return jnp.argmax(out.y_conv, axis=1)
+    return step
+
+
+def predict_targets(module, variables, scene, targets_xy: np.ndarray,
+                    batch_size: int = 4096) -> np.ndarray:
+    """Predict class ids for an explicit (x, y) target list."""
+    k = 2 * scene.neighborhood + 1
+    scene_dev = scene.device_scene()
+    step = _build_target_step(module, k)
 
     n = targets_xy.shape[0]
     preds = np.empty((n,), dtype=np.int32)
@@ -48,6 +79,53 @@ def predict_targets(module, variables, scene, targets_xy: np.ndarray,
         batch_preds = np.asarray(step(scene_dev, variables, jnp.asarray(coords)))
         preds[start:end] = batch_preds[: end - start]
     return preds
+
+
+def _band_coords(batch_rows: int, width: int, row_start, mesh):
+    """On-device dense pixel coordinates for one row-band; optionally sharded
+    over the mesh's data axis (spatial "context parallelism": each chip
+    sweeps a slice of the band, the scene replicated in every chip's HBM)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 0) + row_start
+    cols = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 1)
+    coords = jnp.stack([cols.reshape(-1), rows.reshape(-1)], axis=1)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from hypelcnn_tpu.parallel.mesh import DATA_AXIS
+        coords = jax.lax.with_sharding_constraint(
+            coords, NamedSharding(mesh, P(DATA_AXIS, None)))
+    return coords
+
+
+@_module_cached
+def _build_band_sweep(module, batch_rows: int, width: int, k: int, mesh):
+    @jax.jit
+    def sweep_rows(sc, v, row_start):
+        # batched window gather over a dense row-band of pixels; measured
+        # faster per pixel than a static-shift im2col variant (XLA picks
+        # better layouts for the gather at this batch size) and compiles
+        # far faster
+        coords = _band_coords(batch_rows, width, row_start, mesh)
+        from hypelcnn_tpu.ops.window_gather import gather_patches_xla
+        patches = gather_patches_xla(sc, coords, k)
+        out = module.apply(v, patches, train=False)
+        return jnp.argmax(out.y_conv, axis=1).reshape(batch_rows, width)
+    return sweep_rows
+
+
+@_module_cached
+def _build_scan_sweep(module, batch_rows: int, width: int, k: int, mesh):
+    @jax.jit
+    def sweep(sc, v, starts):
+        def body(carry, row_start):
+            coords = _band_coords(batch_rows, width, row_start, mesh)
+            from hypelcnn_tpu.ops.window_gather import gather_patches_xla
+            patches = gather_patches_xla(sc, coords, k)
+            out = module.apply(v, patches, train=False)
+            return carry, jnp.argmax(out.y_conv, axis=1).astype(jnp.int32).reshape(
+                batch_rows, width)
+        _, blocks = jax.lax.scan(body, None, starts)
+        return blocks
+    return sweep
 
 
 def predict_full_scene(module, variables, scene, batch_rows: int = 16,
@@ -64,28 +142,7 @@ def predict_full_scene(module, variables, scene, batch_rows: int = 16,
     height, width = scene.get_scene_shape()
     k = 2 * scene.neighborhood + 1
     scene_dev = scene.device_scene()
-    channels = scene_dev.shape[2]
-
-    @jax.jit
-    def sweep_rows(sc, v, row_start):
-        # batched window gather over a dense row-band of pixels; measured
-        # faster per pixel than a static-shift im2col variant (XLA picks
-        # better layouts for the gather at this batch size) and compiles
-        # far faster
-        rows = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 0) + row_start
-        cols = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 1)
-        coords = jnp.stack([cols.reshape(-1), rows.reshape(-1)], axis=1)
-        if mesh is not None:
-            # spatial "context parallelism": each chip sweeps a slice of the
-            # pixel batch; the scene is replicated in every chip's HBM
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from hypelcnn_tpu.parallel.mesh import DATA_AXIS
-            coords = jax.lax.with_sharding_constraint(
-                coords, NamedSharding(mesh, P(DATA_AXIS, None)))
-        from hypelcnn_tpu.ops.window_gather import gather_patches_xla
-        patches = gather_patches_xla(sc, coords, k)
-        out = module.apply(v, patches, train=False)
-        return jnp.argmax(out.y_conv, axis=1).reshape(batch_rows, width)
+    sweep_rows = _build_band_sweep(module, batch_rows, width, k, mesh)
 
     result = np.empty((height, width), dtype=np.int32)
     padded_h = ((height + batch_rows - 1) // batch_rows) * batch_rows
@@ -114,24 +171,7 @@ def predict_full_scene_scan(module, variables, scene, batch_rows: int = 16,
     n_bands = (height + batch_rows - 1) // batch_rows
     row_starts = np.minimum(np.arange(n_bands, dtype=np.int32) * batch_rows,
                             max(height - batch_rows, 0)).astype(np.int32)
-
-    @jax.jit
-    def sweep(sc, v, starts):
-        def body(carry, row_start):
-            rows = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 0) + row_start
-            cols = jax.lax.broadcasted_iota(jnp.int32, (batch_rows, width), 1)
-            coords = jnp.stack([cols.reshape(-1), rows.reshape(-1)], axis=1)
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                from hypelcnn_tpu.parallel.mesh import DATA_AXIS
-                coords = jax.lax.with_sharding_constraint(
-                    coords, NamedSharding(mesh, P(DATA_AXIS, None)))
-            from hypelcnn_tpu.ops.window_gather import gather_patches_xla
-            patches = gather_patches_xla(sc, coords, k)
-            out = module.apply(v, patches, train=False)
-            return carry, jnp.argmax(out.y_conv, axis=1).astype(jnp.int32).reshape(batch_rows, width)
-        _, blocks = jax.lax.scan(body, None, starts)
-        return blocks
+    sweep = _build_scan_sweep(module, batch_rows, width, k, mesh)
 
     blocks = np.asarray(sweep(scene_dev, variables, jnp.asarray(row_starts)))
     result = np.empty((height, width), dtype=np.int32)

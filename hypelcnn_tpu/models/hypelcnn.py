@@ -127,7 +127,11 @@ class HYPELCNNModule(nn.Module):
     def __call__(self, x: jax.Array, labels: jax.Array | None = None,
                  train: bool = False) -> ModelOutput:
         p = self.params_dict
-        net0 = x
+        # cast once at entry: the raw float32 patches would otherwise promote
+        # every residual add (`x + scale_in_to_out(...)`) back to float32,
+        # dragging f32 activation traffic through the whole network (profiled
+        # at ~2x the step's HBM bytes under compute_dtype=bfloat16)
+        net0 = x.astype(jnp.dtype(p.get("compute_dtype", "float32")))
         use_residual = p["use_residual"]
 
         net1 = self._spectral_stack(net0, encoding=True, train=train)

@@ -18,6 +18,13 @@ import jax
 # environment; the config update is authoritative
 jax.config.update("jax_platforms", "cpu")
 
+# the suite is dominated by XLA:CPU compiles of the model-family graphs;
+# persist them so iterating on tests costs seconds, not 18 minutes
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HYPELCNN_TEST_CACHE", "/tmp/hypelcnn_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
