@@ -49,6 +49,14 @@ def main() -> None:
     result = trainer.fit(num_steps=4, batch_size=8, log_every=4)
     print(f"RESULT pid={pid} chief={is_chief()} loss={result.loss:.6f}", flush=True)
 
+    # re-sync before interpreter exit: the chief spends extra wall time on
+    # its summary/checkpoint I/O, and on a loaded machine the non-chief can
+    # hit the coordination-service shutdown barrier so much earlier that the
+    # barrier times out (observed under a full parallel test run).  A global
+    # collective makes both ranks reach shutdown together.
+    from jax.experimental.multihost_utils import sync_global_devices
+    sync_global_devices("mp_worker_done")
+
 
 if __name__ == "__main__":
     main()
