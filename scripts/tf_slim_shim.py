@@ -55,10 +55,29 @@ def arg_scope(func_list, **kwargs):
         stack.pop()
 
 
-def _with_defaults(fn_name, kwargs):
-    merged = _current_defaults(fn_name)
-    merged.update(kwargs)
-    return merged
+# sentinel marking "caller did not pass this argument" — slim's precedence is
+# explicit call arg > arg_scope value > signature default, and a plain
+# defaults-dict merge cannot distinguish the first from the last (that merge
+# bug silently dropped the reference's arg_scope batch_norm/lrelu/initializer
+# settings and invalidated an earlier baseline measurement)
+_UNSET = object()
+
+
+def _resolve(fn_name, call_values, slim_defaults):
+    """Resolve layer kwargs with slim's precedence.
+
+    ``call_values`` maps name -> value as received (``_UNSET`` when the
+    caller omitted it); ``slim_defaults`` maps name -> slim's documented
+    signature default.
+    """
+    scope = _current_defaults(fn_name)
+    out = {}
+    for name, default in slim_defaults.items():
+        value = call_values[name]
+        if value is _UNSET:
+            value = scope.get(name, default)
+        out[name] = value
+    return out
 
 
 def l2_regularizer(scale):
@@ -117,20 +136,20 @@ def _pair(value):
 
 
 def conv2d(inputs, num_outputs, kernel_size, stride=1, padding="SAME",
-           data_format=None, activation_fn=tf.nn.relu, normalizer_fn=None,
-           normalizer_params=None, weights_initializer=None,
-           weights_regularizer=None, biases_initializer=None, scope=None,
+           data_format=None, activation_fn=_UNSET, normalizer_fn=_UNSET,
+           normalizer_params=_UNSET, weights_initializer=_UNSET,
+           weights_regularizer=_UNSET, biases_initializer=None, scope=None,
            **kwargs):
     del kwargs
-    params = _with_defaults("conv2d", dict(
-        activation_fn=activation_fn, normalizer_fn=normalizer_fn,
-        normalizer_params=normalizer_params,
-        weights_initializer=weights_initializer,
-        weights_regularizer=weights_regularizer))
-    # explicit call args override scope defaults only when explicitly passed;
-    # emulate by re-reading: slim resolves explicit args first, but the
-    # reference always routes these through arg_scope, so defaults-merge
-    # order is not observable for it.
+    params = _resolve(
+        "conv2d",
+        dict(activation_fn=activation_fn, normalizer_fn=normalizer_fn,
+             normalizer_params=normalizer_params,
+             weights_initializer=weights_initializer,
+             weights_regularizer=weights_regularizer),
+        dict(activation_fn=tf.nn.relu, normalizer_fn=None,
+             normalizer_params=None, weights_initializer=None,
+             weights_regularizer=None))
     activation_fn = params["activation_fn"]
     normalizer_fn = params["normalizer_fn"]
     normalizer_params = params["normalizer_params"] or {}
@@ -156,21 +175,24 @@ def conv2d(inputs, num_outputs, kernel_size, stride=1, padding="SAME",
         return out
 
 
-def fully_connected(inputs, num_outputs, activation_fn=tf.nn.relu,
-                    normalizer_fn=None, normalizer_params=None,
-                    weights_initializer=None, weights_regularizer="__unset__",
+def fully_connected(inputs, num_outputs, activation_fn=_UNSET,
+                    normalizer_fn=_UNSET, normalizer_params=_UNSET,
+                    weights_initializer=_UNSET, weights_regularizer=_UNSET,
                     biases_initializer=None, scope=None, **kwargs):
     del kwargs
-    params = _with_defaults("fully_connected", dict(
-        activation_fn=activation_fn, normalizer_fn=normalizer_fn,
-        normalizer_params=normalizer_params,
-        weights_initializer=weights_initializer))
-    # weights_regularizer=None is an explicit opt-out at several reference
+    # NB: weights_regularizer=None is an explicit opt-out at several reference
     # call sites (HYPELCNNModel.py:121-141) and must override the arg_scope
-    # default, so it is merged only when left unset.
-    if weights_regularizer == "__unset__":
-        weights_regularizer = _current_defaults("fully_connected").get(
-            "weights_regularizer")
+    # default — exactly the explicit-beats-scope precedence _resolve encodes.
+    params = _resolve(
+        "fully_connected",
+        dict(activation_fn=activation_fn, normalizer_fn=normalizer_fn,
+             normalizer_params=normalizer_params,
+             weights_initializer=weights_initializer,
+             weights_regularizer=weights_regularizer),
+        dict(activation_fn=tf.nn.relu, normalizer_fn=None,
+             normalizer_params=None, weights_initializer=None,
+             weights_regularizer=None))
+    weights_regularizer = params["weights_regularizer"]
     activation_fn = params["activation_fn"]
     normalizer_fn = params["normalizer_fn"]
     normalizer_params = params["normalizer_params"] or {}
