@@ -74,6 +74,11 @@ class DCLGANTrainer(GANTrainerBase):
                                                 state.opt_states["y2x"], y, x)
             metrics = {f"x2y_{k}": v for k, v in m_x2y.items()}
             metrics.update({f"y2x_{k}": v for k, v in m_y2x.items()})
+            # every trainer exposes an unprefixed "generator_loss" (the
+            # training loop's scan output keys on it); for DCL it is the sum
+            # over the two independent units
+            metrics["generator_loss"] = (m_x2y["generator_loss"]
+                                         + m_y2x["generator_loss"])
             return GANState(step=state.step + 1,
                             params={"x2y": p_x2y, "y2x": p_y2x},
                             opt_states={"x2y": o_x2y, "y2x": o_y2x},

@@ -35,7 +35,7 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--path", default="/data/2013_DFTC/2013_DFTC",
                         help="dataset path (reference cmd_parser default)")
@@ -55,7 +55,13 @@ def main() -> None:
                         help="the TF reference's measured OA on the same split; "
                              "enables the <0.5%% parity verdict")
     parser.add_argument("--output_path", default="/tmp/parity_run")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+
+    # honor an explicit platform request (e.g. the CPU smoke test): the
+    # ambient TPU plugin otherwise wins even over the env var (CLAUDE.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from hypelcnn_tpu.core.config import load_algorithm_params
     from hypelcnn_tpu.core.registry import (get_importer_from_name,

@@ -109,3 +109,55 @@ class TestGanApps:
                     f"--base_log_path={run_dir}/gan_params",
                     f"--output_path={tmp_path}"])
         assert any(f.startswith("best_ratio_") for f in os.listdir(tmp_path))
+
+    def test_gan_train_loop_runs_for_every_gan_type(self, tmp_path):
+        """The CLI training loop keys its scan output on generator_loss;
+        every registered gan_type must survive it (dcl_gan once crashed
+        with a KeyError because its metrics were all unit-prefixed)."""
+        from hypelcnn_tpu.apps.gan_train_for_shadow import main as gan_main
+        for gan_type in ("dcl_gan", "dcl_cycle_gan", "cut_y2x", "gan_y2x"):
+            gan_main(["--loader_name=SyntheticDataLoader",
+                      "--path=synthetic://?h=24&w=24&bands=16&classes=3",
+                      f"--gan_type={gan_type}", "--step=2", "--batch_size=4",
+                      "--patches=4",
+                      "--validation_steps=2", "--validation_sample_count=6",
+                      "--pairing_method=dummy",
+                      f"--base_log_path={tmp_path}/{gan_type}"])
+            run_dirs = [d for d in os.listdir(tmp_path)
+                        if d.startswith(f"{gan_type}_")]
+            assert run_dirs, gan_type
+
+
+class TestParityHarness:
+    def test_accuracy_parity_smoke_on_synthetic(self, tmp_path):
+        """The ready-to-run parity experiment (scripts/accuracy_parity.py)
+        stays a working COMMAND: run its documented synthetic smoke and
+        check the report it writes (full-scene sweep + OA fields)."""
+        import importlib.util
+        import json as json_mod
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "accuracy_parity", os.path.join(repo_root, "scripts",
+                                            "accuracy_parity.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = tmp_path / "alg.json"
+        cfg.write_text(json_mod.dumps({
+            "drop_out_ratio": 0.5, "learning_rate": 1e-3,
+            "learning_rate_decay_factor": 0.96,
+            "learning_rate_decay_step": 350,
+            "filter_count": 32, "batch_size": 8,
+            "optimizer": "AdamOptimizer"}))
+        mod.main(["--algorithm_param_path", str(cfg),
+                  "--loader_name", "SyntheticDataLoader",
+                  "--path", "synthetic://?h=32&w=32&bands=8&classes=4",
+                  "--steps", "8", "--batch_size", "8",
+                  "--train_ratio", "0.4", "--test_ratio", "0.1",
+                  "--reference_oa", "0.8",
+                  "--output_path", str(tmp_path / "parity")])
+        report = json_mod.load(open(tmp_path / "parity" / "parity_report.json"))
+        assert report["test_oa"] is not None
+        assert "full_scene_seconds" in report
+        assert "parity_target_met" in report
+        assert (tmp_path / "parity" / "scene_map.npy").exists()

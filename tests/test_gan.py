@@ -122,6 +122,9 @@ def test_trainer_steps(gan_type):
     assert int(state.step) == 2
     for name, value in metrics.items():
         assert np.isfinite(float(value)), f"{gan_type} {name} not finite"
+    # the training loop's scan output keys on this for every trainer type
+    # (apps/gan_train_for_shadow.py one_step) — DCL once lacked it
+    assert "generator_loss" in metrics
     out = trainer.translate(jax.device_get(state.params), x, is_shadow=True)
     assert out.shape == x.shape
     # patch translation folds spatial cells into the batch
