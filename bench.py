@@ -132,13 +132,15 @@ def main() -> None:
     chunk_flops = _flops_of(compiled)
 
     state, losses = compiled(state, arrays, idx, step_nos)  # warm
-    losses.block_until_ready()
+    float(losses[-1])
 
     windows = []
     for _ in range(10):
         t0 = time.time()
         state, losses = compiled(state, arrays, idx, step_nos)
-        losses.block_until_ready()
+        # synchronize by FETCHING a scalar: through the remote tunnel
+        # block_until_ready does not reliably block (verify SKILL.md)
+        float(losses[-1])
         windows.append(time.time() - t0)
     elapsed = float(np.median(windows))
     patches_per_sec = chunk * batch_size / elapsed

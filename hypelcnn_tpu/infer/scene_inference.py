@@ -43,8 +43,10 @@ def _module_cached(builder):
         entry = _PROGRAM_CACHE.get(key)
         if entry is not None and entry[0] is module:
             return entry[1]
-        if len(_PROGRAM_CACHE) > 64:
-            _PROGRAM_CACHE.clear()
+        while len(_PROGRAM_CACHE) > 64:
+            # FIFO-evict one entry: a full clear() would drop every hot
+            # compiled sweep at once and re-pay ~20 s remote recompile each
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         fn = builder(module, *key_rest)
         _PROGRAM_CACHE[key] = (module, fn)
         return fn

@@ -29,11 +29,17 @@ def main():
         coords = jnp.asarray(
             np.stack([rng.integers(0, w, b), rng.integers(0, h, b)], 1).astype(np.int32))
         t_xla = timeit(jax.jit(lambda s, co: gather_patches_xla(s, co, k)), scene, coords)
-        t_pal = timeit(lambda s, co: gather_patches_pallas(s, co, k), scene, coords)
         bytes_moved = b * k * k * c * 4
-        print(f"scene {h}x{w}x{c} k={k} B={b}: xla={t_xla*1e6:.0f}us "
-              f"({bytes_moved/t_xla/1e9:.1f} GB/s) pallas={t_pal*1e6:.0f}us "
-              f"({bytes_moved/t_pal/1e9:.1f} GB/s)")
+        msg = (f"scene {h}x{w}x{c} k={k} B={b}: xla={t_xla*1e6:.0f}us "
+               f"({bytes_moved/t_xla/1e9:.1f} GB/s)")
+        if b <= 512:
+            t_pal = timeit(lambda s, co: gather_patches_pallas(s, co, k), scene, coords)
+            msg += f" pallas={t_pal*1e6:.0f}us ({bytes_moved/t_pal/1e9:.1f} GB/s)"
+        else:
+            # scalar-prefetch SMEM limits the compiled Pallas kernel to
+            # batch <= 512 (ops/window_gather.py) — XLA-only above that
+            msg += " pallas=skipped (batch > 512 SMEM limit)"
+        print(msg)
 
 
 if __name__ == "__main__":

@@ -197,6 +197,31 @@ class TestInference:
                                 batch_size=32)
         np.testing.assert_array_equal(scene_map[targets[:, 1], targets[:, 0]], preds)
 
+    def test_program_cache_evicts_one_entry_not_all(self):
+        """Cache overflow must FIFO-evict a single entry: a full clear()
+        would re-pay ~20 s of remote recompile per hot program."""
+        from hypelcnn_tpu.infer import scene_inference as si
+
+        built = []
+
+        @si._module_cached
+        def build(module, tag):
+            built.append((id(module), tag))
+            return (module, tag)
+
+        keepalive = [object() for _ in range(70)]
+        for obj in keepalive:
+            build(obj, "t")
+        assert len(si._PROGRAM_CACHE) <= 65
+        # the most recent entries survive the overflow evictions
+        assert build(keepalive[-1], "t") == (keepalive[-1], "t")
+        n_built = len(built)
+        build(keepalive[-1], "t")
+        assert len(built) == n_built  # cache hit, not a rebuild
+        # cleanup: drop the test's entries so production lookups are unaffected
+        for key in [k for k in si._PROGRAM_CACHE if k[0] == "build"]:
+            si._PROGRAM_CACHE.pop(key)
+
     def test_colored_image(self):
         from hypelcnn_tpu.infer.scene_inference import create_colored_image
         img = np.array([[0, 1], [255, 2]], dtype=np.uint8)
