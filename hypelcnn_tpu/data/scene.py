@@ -33,16 +33,24 @@ def gather_from_dual(casi: jax.Array, lidar: jax.Array, coords: jax.Array,
                                DualResScene.CASI_SCALE)
 
 
-def gather_from_multi(stacked: jax.Array, coords: jax.Array, neighborhood: int,
+def gather_from_multi(arrays, coords: jax.Array, neighborhood: int,
                       key: Optional[jax.Array] = None) -> jax.Array:
-    """Random-source gather over stacked member scenes (MultiScene)."""
+    """Random-source gather over member scenes (MultiScene).
+
+    ``arrays`` is ``(stacked_unique, lookup)``: duplicate members (e.g. the
+    1:3 original:shadowed weighting, reference
+    `loader/GULFPORTALTDataLoader.py:60`) are stored ONCE in HBM and the
+    weighting lives in the small ``lookup`` table the random draw indexes.
+    """
+    stacked, lookup = arrays
     k = 2 * neighborhood + 1
-    n_scenes = stacked.shape[0]
+    n_members = lookup.shape[0]
     coords = coords.astype(jnp.int32)
     if key is None:
-        src = jnp.zeros((coords.shape[0],), dtype=jnp.int32)
+        member = jnp.zeros((coords.shape[0],), dtype=jnp.int32)
     else:
-        src = jax.random.randint(key, (coords.shape[0],), 0, n_scenes)
+        member = jax.random.randint(key, (coords.shape[0],), 0, n_members)
+    src = jnp.take(lookup, member)
     offs = jnp.arange(k, dtype=jnp.int32)
     ys = coords[:, 1][:, None, None] + offs[None, :, None]
     xs = coords[:, 0][:, None, None] + offs[None, None, :]
@@ -197,7 +205,7 @@ class MultiScene:
         assert len(scenes) > 0
         self.scenes = list(scenes)
         self.neighborhood = scenes[0].neighborhood
-        self._stacked: Optional[jax.Array] = None
+        self._stacked = None
 
     def __getattr__(self, item):
         return getattr(self.scenes[0], item)
@@ -206,9 +214,25 @@ class MultiScene:
         idx = np.random.randint(0, len(self.scenes))
         return self.scenes[idx].get_data_point(point_x, point_y)
 
-    def device_scenes(self) -> jax.Array:
+    def device_scenes(self):
+        """``(stacked_unique, lookup)``: duplicate members are uploaded and
+        stored once; the member->unique ``lookup`` carries the sampling
+        weight (e.g. [0, 1, 1, 1] for the 1:3 MIXED weighting) so HBM holds
+        each distinct scene a single time."""
         if self._stacked is None:
-            self._stacked = jnp.stack([s.device_scene() for s in self.scenes], axis=0)
+            unique: list = []
+            lookup = []
+            for scene in self.scenes:
+                for i, seen in enumerate(unique):
+                    if seen is scene:
+                        lookup.append(i)
+                        break
+                else:
+                    lookup.append(len(unique))
+                    unique.append(scene)
+            self._stacked = (
+                jnp.stack([s.device_scene() for s in unique], axis=0),
+                jnp.asarray(lookup, dtype=jnp.int32))
         return self._stacked
 
     def warm_cache(self) -> None:

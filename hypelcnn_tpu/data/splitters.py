@@ -63,9 +63,14 @@ def shuffle_training_data_using_size(class_range: Iterable[int], result: np.ndar
         mask[train_index] = False
         validation_index = np.nonzero(mask)[0]
         if validation_size is not None:
-            take = min(validation_size, validation_index.shape[0])
+            # reference quirk PRESERVED (`common_nn_ops.py:524-526`): the
+            # clamp REASSIGNS validation_size, so one small class permanently
+            # shrinks the per-class quota for every LATER class in iteration
+            # order — a local `min` would "fix" the composition silently
+            validation_size = min(validation_size, validation_index.shape[0])
             validation_index = validation_index[
-                np.random.choice(validation_index.shape[0], take, replace=False)]
+                np.random.choice(validation_index.shape[0], validation_size,
+                                 replace=False)]
         train_set = np.vstack([train_set, result[ids_for_class[train_index], :]])
         validation_set = np.vstack([validation_set, result[ids_for_class[validation_index], :]])
     return train_set, validation_set

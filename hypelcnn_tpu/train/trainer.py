@@ -80,7 +80,6 @@ class ClassificationTrainer:
                  save_checkpoint_steps: Optional[int] = None,
                  test_cadence: int = 100,
                  validation_cadence: Optional[int] = None,
-                 required_steps: Optional[int] = None,
                  sources: Optional[Dict[str, Any]] = None,
                  data_shape: Optional[list] = None,
                  log_model_params: bool = False):
@@ -102,16 +101,14 @@ class ClassificationTrainer:
         self.save_checkpoint_steps = save_checkpoint_steps
         self.test_cadence = test_cadence
         self.validation_cadence = validation_cadence
-        self.required_steps = required_steps
         self.log_model_params = log_model_params
 
         self.module = model.create_module(class_count, algorithm_params)
         self.tx, self.schedule = build_optimizer(algorithm_params)
-        self.patch_size = (2 * scene.neighborhood + 1) if scene is not None \
-            else (self._data_shape[0] if self._data_shape else 1)
 
         self._train_step = None
         self._eval_step = None
+        self._eval_tables: Dict = {}
         self.history: list = []
 
     # ---- setup ----
@@ -141,7 +138,7 @@ class ClassificationTrainer:
 
     # ---- jitted steps ----
 
-    def _build_train_chunk(self, coords_table, labels_table):
+    def _build_train_chunk(self):
         """A jitted multi-step training chunk.
 
         One host dispatch runs ``chunk`` optimizer steps via ``lax.scan`` —
@@ -149,6 +146,13 @@ class ClassificationTrainer:
         forward/backward, update) lives on-device.  This is the TPU-native
         replacement for the reference's per-step ``sess.run`` loop
         (`classify/monitored_session_runner.py:182-184`).
+
+        The target tables and rng base key ride the scan carry as program
+        ARGUMENTS (the ``tables`` tuple) — a closure would bake them into
+        the compiled HLO as constants (megabytes at GRSS2018 full-GT scale,
+        re-shipped through the remote-compile tunnel, and silently stale on
+        a second ``fit`` with a changed sample set).  Same rule as the scene
+        ``arrays``.
         """
         module, model, tx = self.module, self.model, self.tx
         aug_info = self.augmentation_info
@@ -156,11 +160,11 @@ class ClassificationTrainer:
         source = self.sources["training"]
 
         def one_step(carry, inp):
-            state, arrays = carry
+            state, arrays, coords_table, labels_table, key_base = carry
             idx, step_no = inp
             coords = jnp.take(coords_table, idx, axis=0)
             label_ids = jnp.take(labels_table, idx, axis=0)
-            key = jax.random.fold_in(self._train_key_base, step_no)
+            key = jax.random.fold_in(key_base, step_no)
             gather_key, aug_key, drop_key = jax.random.split(key, 3)
             patches = source.gather(arrays, idx, coords, key=gather_key)
             patches = augment_batch(patches, aug_key, aug_info)
@@ -183,19 +187,21 @@ class ClassificationTrainer:
             new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
             new_state = TrainState(step=state.step + 1, params=new_params,
                                    batch_stats=new_stats, opt_state=new_opt_state)
-            return (new_state, arrays), loss
+            return (new_state, arrays, coords_table, labels_table, key_base), loss
 
-        def chunk_fn(state: TrainState, arrays, idx_chunk, step_nos):
-            # `arrays` (the scene) rides the carry so it is a program
-            # ARGUMENT, not a baked-in constant
-            (state, _), losses = jax.lax.scan(one_step, (state, arrays),
-                                              (idx_chunk, step_nos))
+        def chunk_fn(state: TrainState, arrays, tables, idx_chunk, step_nos):
+            # the scene `arrays` AND the target `tables` ride the carry so
+            # they are program ARGUMENTS, not baked-in constants
+            coords_table, labels_table, key_base = tables
+            carry0 = (state, arrays, coords_table, labels_table, key_base)
+            (state, *_), losses = jax.lax.scan(one_step, carry0,
+                                               (idx_chunk, step_nos))
             return state, losses
 
         batch_sh3 = NamedSharding(self.mesh, P(None, DATA_AXIS))
         repl = NamedSharding(self.mesh, P())
         return jax.jit(chunk_fn, donate_argnums=(0,),
-                       in_shardings=(None, repl, batch_sh3, repl))
+                       in_shardings=(None, repl, repl, batch_sh3, repl))
 
     def _build_eval_drain(self, split: str):
         """One jitted dispatch per evaluation: ``lax.scan`` over eval batches.
@@ -209,29 +215,38 @@ class ClassificationTrainer:
         source = self.sources[split]
         class_count = self.class_count
 
-        def drain_fn(params, batch_stats, arrays, idx, coords, label_ids, mask):
+        def drain_fn(params, batch_stats, arrays, idx, coords, label_ids, mask, key):
             # idx/coords/label_ids/mask: [num_batches, batch(, 2)]
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
+            batch_nos = jnp.arange(idx.shape[0], dtype=jnp.uint32)
 
             def body(confusion, inp):
-                idx_b, coords_b, labels_b, mask_b = inp
-                patches = source.gather(arrays, idx_b, coords_b)
+                idx_b, coords_b, labels_b, mask_b, batch_no = inp
+                # member-scene sampling parity: the reference draws a random
+                # member per data point during evaluation too (MultiDataSet
+                # MIXED mode, `loader/GULFPORTALTDataLoader.py:40-42`); a
+                # per-batch folded key keeps our eval deterministic while
+                # matching that 1:(S-1) member distribution.  Single-scene
+                # sources ignore the key.
+                patches = source.gather(arrays, idx_b, coords_b,
+                                        key=jax.random.fold_in(key, batch_no))
                 out = module.apply(variables, patches, train=False)
                 preds = jnp.argmax(out.y_conv, axis=1)
                 return confusion_update(confusion, labels_b, preds, mask_b), None
 
             confusion0 = jnp.zeros((class_count, class_count), dtype=jnp.int32)
             confusion, _ = jax.lax.scan(body, confusion0,
-                                        (idx, coords, label_ids, mask))
+                                        (idx, coords, label_ids, mask, batch_nos))
             return confusion
 
         # params/batch_stats/arrays keep their own placement (TP params are
         # model-sharded); only the batch tables are pinned to the data axis
         batch_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         return jax.jit(drain_fn, in_shardings=(None, None, None, batch_sh,
-                                               batch_sh, batch_sh, batch_sh))
+                                               batch_sh, batch_sh, batch_sh,
+                                               None))
 
     # ---- evaluation drains ----
 
@@ -250,22 +265,31 @@ class ClassificationTrainer:
         n = targets.shape[0]
         if n == 0:
             return compute_metrics(np.zeros((self.class_count, self.class_count)))
-        # batch must divide over the data axis; tiny splits shrink to one batch
-        data_size = self.mesh.shape[DATA_AXIS]
-        batch_size = pad_to_multiple(min(batch_size, n), data_size)
-        num_batches = math.ceil(n / batch_size)
-        total = num_batches * batch_size
-        pad = total - n
-        idx = np.pad(np.arange(n, dtype=np.int32), (0, pad)).reshape(num_batches, batch_size)
-        coords = np.pad(np.asarray(targets[:, :2], dtype=np.int32),
-                        ((0, pad), (0, 0))).reshape(num_batches, batch_size, 2)
-        labels = np.pad(np.asarray(targets[:, 2], dtype=np.int32),
-                        (0, pad)).reshape(num_batches, batch_size)
-        mask = np.pad(np.ones(n, dtype=np.int32), (0, pad)).reshape(num_batches, batch_size)
+        # targets are immutable after construction: build the padded device
+        # tables ONCE per (split, batch) and reuse — rebuilding re-sent
+        # megabytes over the tunneled device link on every eval cadence
+        cache_key = (split, batch_size)
+        if cache_key not in self._eval_tables:
+            # batch must divide over the data axis; tiny splits shrink to one batch
+            data_size = self.mesh.shape[DATA_AXIS]
+            eff_batch = pad_to_multiple(min(batch_size, n), data_size)
+            num_batches = math.ceil(n / eff_batch)
+            total = num_batches * eff_batch
+            pad = total - n
+            idx = np.pad(np.arange(n, dtype=np.int32), (0, pad)).reshape(num_batches, eff_batch)
+            coords = np.pad(np.asarray(targets[:, :2], dtype=np.int32),
+                            ((0, pad), (0, 0))).reshape(num_batches, eff_batch, 2)
+            labels = np.pad(np.asarray(targets[:, 2], dtype=np.int32),
+                            (0, pad)).reshape(num_batches, eff_batch)
+            mask = np.pad(np.ones(n, dtype=np.int32), (0, pad)).reshape(num_batches, eff_batch)
+            self._eval_tables[cache_key] = (jnp.asarray(idx), jnp.asarray(coords),
+                                            jnp.asarray(labels), jnp.asarray(mask))
+        idx_d, coords_d, labels_d, mask_d = self._eval_tables[cache_key]
         arrays = self.sources[split].device_arrays()
+        eval_key = self.rng_pool.key(f"eval-{split}")
         confusion = self._eval_step[split](state.params, state.batch_stats, arrays,
-                                           jnp.asarray(idx), jnp.asarray(coords),
-                                           jnp.asarray(labels), jnp.asarray(mask))
+                                           idx_d, coords_d, labels_d, mask_d,
+                                           eval_key)
         return compute_metrics(np.asarray(confusion))
 
     # ---- the training loop ----
@@ -301,12 +325,12 @@ class ClassificationTrainer:
         train = self.sample_set.training_targets
         index_stream = make_epoch_index_stream(
             train.shape[0], batch_size, num_steps, self.rng_pool.numpy_rng("epoch-shuffle"))
-        coords_table = jnp.asarray(train[:, :2].astype(np.int32))
-        labels_table = jnp.asarray(train[:, 2].astype(np.int32))
+        tables = (jnp.asarray(train[:, :2].astype(np.int32)),
+                  jnp.asarray(train[:, 2].astype(np.int32)),
+                  self.rng_pool.key("train", 0))
         indices_dev = jnp.asarray(index_stream)
-        self._train_key_base = self.rng_pool.key("train", 0)
         if self._train_step is None:
-            self._train_step = self._build_train_chunk(coords_table, labels_table)
+            self._train_step = self._build_train_chunk()
 
         # chunk boundary = smallest active cadence so hooks fire on time
         cadences = [log_every, self.test_cadence]
@@ -321,8 +345,11 @@ class ClassificationTrainer:
             return cadence and (end // cadence) > (start // cadence)
 
         # chief-only I/O: on a multi-host run only process 0 writes summaries,
-        # CSVs, history, and checkpoints (reference `is_chief = task == 0`,
-        # gan/gan_train_for_shadow.py:300); compute still runs on every host
+        # CSVs, and history (reference `is_chief = task == 0`,
+        # gan/gan_train_for_shadow.py:300); compute still runs on every host.
+        # CHECKPOINTS are the exception: orbax's CheckpointManager.save is a
+        # global collective (it barriers across all processes), so every
+        # process must call it — orbax itself guarantees a single writer.
         from hypelcnn_tpu.parallel.distributed import is_chief
         chief = is_chief()
         writer = None
@@ -342,7 +369,8 @@ class ClassificationTrainer:
             idx_chunk = jax.lax.slice_in_dim(indices_dev, start, start + n, axis=0)
             step_nos = jnp.arange(start, start + n, dtype=jnp.uint32)
             with jax.profiler.StepTraceAnnotation("train_chunk", step_num=start):
-                state, losses = self._train_step(state, train_arrays, idx_chunk, step_nos)
+                state, losses = self._train_step(state, train_arrays, tables,
+                                                 idx_chunk, step_nos)
             end = start + n
 
             if crossed(log_every, start, end) or end == num_steps:
@@ -355,7 +383,7 @@ class ClassificationTrainer:
                     progress_callback(end, last_loss)
                 if writer:
                     writer.scalar("loss", last_loss, end)
-                    writer.scalar("learning_rate", float(self.schedule(end)), end)
+                    writer.scalar("learning_rate", self._lr_on_host(end), end)
                     if self.log_model_params:
                         # reference --log_model_params: histogram every model
                         # variable on the summary cadence
@@ -386,14 +414,15 @@ class ClassificationTrainer:
                                   val_metrics.overall_accuracy, end)
                     writer.scalar("validation_kappa", val_metrics.kappa, end)
 
-            if self.save_checkpoint_steps and self.log_dir and chief \
+            if self.save_checkpoint_steps and self.log_dir \
                     and crossed(self.save_checkpoint_steps, start, end):
+                # ALL processes call save (orbax collective; see note above)
                 self.save_checkpoint(state)
             start = end
 
         if writer:
             writer.close()
-        if self.save_checkpoint_steps and self.log_dir and chief:
+        if self.save_checkpoint_steps and self.log_dir:
             self.save_checkpoint(state)  # final save (MonitoredTrainingSession parity)
         if self.log_dir and chief and self.history:
             os.makedirs(self.log_dir, exist_ok=True)
@@ -408,7 +437,8 @@ class ClassificationTrainer:
             if self.sample_set.validation_targets.shape[0] else None
 
         self.final_state = state
-        self.steps_per_sec = num_steps / elapsed if elapsed > 0 else float("inf")
+        executed = num_steps - resume_step  # steps actually run this call
+        self.steps_per_sec = executed / elapsed if elapsed > 0 else float("inf")
         return TrainingResult(
             validation_accuracy=val_metrics.overall_accuracy if val_metrics else 0.0,
             test_accuracy=test_metrics.overall_accuracy if test_metrics else 0.0,
@@ -416,6 +446,17 @@ class ClassificationTrainer:
             validation_metrics=val_metrics,
             test_metrics=test_metrics,
             history=self.history)
+
+    def _lr_on_host(self, step: int) -> float:
+        """Evaluate the LR schedule on the CPU backend: the optax schedule
+        builds jnp ops, and on the tunneled TPU a logging-only scalar would
+        cost an extra blocking round-trip per log crossing."""
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return float(self.schedule(step))
+        with jax.default_device(cpu):
+            return float(self.schedule(step))
 
     def _log_param_histograms(self, writer, state: TrainState, step: int) -> None:
         """Histogram every model variable (params + BN moving stats) — the

@@ -34,20 +34,20 @@ def main():
     tr = ClassificationTrainer(model=model, class_count=15, algorithm_params=params,
                                scene=scene, sample_set=samples, test_cadence=10 ** 9)
     train = samples.training_targets
-    ct = jnp.asarray(train[:, :2].astype(np.int32))
-    lt = jnp.asarray(train[:, 2].astype(np.int32))
-    tr._train_key_base = tr.rng_pool.key("train", 0)
-    step_fn = tr._build_train_chunk(ct, lt)
+    tables = (jnp.asarray(train[:, :2].astype(np.int32)),
+              jnp.asarray(train[:, 2].astype(np.int32)),
+              tr.rng_pool.key("train", 0))
+    step_fn = tr._build_train_chunk()
     state = tr.init_state()
     arrays = tr.sources["training"].device_arrays()
     idx = jnp.asarray(np.random.randint(0, train.shape[0],
                                         size=(args.chunk, args.batch)).astype(np.int32))
     nos = jnp.arange(args.chunk, dtype=jnp.uint32)
-    state, losses = step_fn(state, arrays, idx, nos)
+    state, losses = step_fn(state, arrays, tables, idx, nos)
     losses.block_until_ready()  # compile outside the trace
 
     with jax.profiler.trace(args.out):
-        state, losses = step_fn(state, arrays, idx, nos)
+        state, losses = step_fn(state, arrays, tables, idx, nos)
         losses.block_until_ready()
     print(f"trace written to {args.out}")
 

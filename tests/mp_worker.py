@@ -45,8 +45,12 @@ def main() -> None:
         model=CONCNNModel(), class_count=data.class_count,
         algorithm_params=params, scene=data.scene,
         sample_set=data.sample_set, sources=data.sources,
-        data_shape=data.data_shape, mesh=create_mesh(), log_dir=log_dir)
+        data_shape=data.data_shape, mesh=create_mesh(), log_dir=log_dir,
+        # checkpointing must be exercised multi-process: orbax's save is a
+        # global collective — a chief-only call deadlocks on its barrier
+        save_checkpoint_steps=4)
     result = trainer.fit(num_steps=4, batch_size=8, log_every=4)
+    assert os.path.isdir(os.path.join(log_dir, "checkpoints"))
     print(f"RESULT pid={pid} chief={is_chief()} loss={result.loss:.6f}", flush=True)
 
     # re-sync before interpreter exit: the chief spends extra wall time on

@@ -121,6 +121,20 @@ class TestSplitters:
         train, _ = shuffle_training_data_using_size(range(0, 3), rows, 200, None)
         assert (train[:, 2] == 0).sum() == 90  # 100 * 9 // 10
 
+    def test_size_split_validation_clamp_persists_across_classes(self):
+        """Reference quirk (common_nn_ops.py:524-526): the validation quota
+        is REASSIGNED when clamped, so a small class permanently shrinks the
+        quota for every later class."""
+        # class 0: 10 samples, class 1: 100 samples
+        rows = np.array([[i, 0, 0] for i in range(10)]
+                        + [[i, 1, 1] for i in range(100)], dtype=int)
+        np.random.seed(0)
+        train, val = shuffle_training_data_using_size(range(0, 2), rows, 5, 50)
+        # class 0: train 5, remainder 5 -> clamp 50 -> 5 (and the quota
+        # itself becomes 5); class 1: remainder 95 but quota is now 5
+        assert (val[:, 2] == 0).sum() == 5
+        assert (val[:, 2] == 1).sum() == 5
+
     def test_test_split_deterministic(self):
         rows = read_targets_from_image(self.make_targets(), range(0, 3))
         t1, tr1 = shuffle_test_data_using_ratio(rows.copy(), 0.1)

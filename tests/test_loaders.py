@@ -157,6 +157,34 @@ class TestGULFPORT:
         out = mixed.gather_batch(coords, key=jax.random.key(0))
         assert out.shape == (2, 3, 3, 65)
 
+    def test_mixed_scene_dedups_hbm_and_weights_sampling(self, gulfport_dir):
+        """The 1:3 original:shadowed weighting must NOT store the shadowed
+        scene three times; the weight lives in the lookup table and the
+        random draw follows it (~3/4 shadowed)."""
+        import jax
+        import jax.numpy as jnp
+        from hypelcnn_tpu.data.scene import gather_from_multi
+        loader = get_loader_from_name("GULFPORTALTDataLoader", gulfport_dir)
+        loader.load_mode = LoadingMode.MIXED
+        mixed = loader.load_data(0, True)
+        stacked, lookup = mixed.device_scenes()
+        assert stacked.shape[0] == 2  # unique scenes only (original, shadowed)
+        np.testing.assert_array_equal(np.asarray(lookup), [0, 1, 1, 1])
+
+        # sampling follows the 1:3 weight: pick one fixed pixel many times
+        coords = jnp.zeros((2000, 2), dtype=jnp.int32) + 5
+        patches = gather_from_multi((stacked, lookup), coords, 0,
+                                    key=jax.random.key(1))
+        ref_orig = np.asarray(stacked[0, 5, 5])
+        from_orig = np.isclose(np.asarray(patches[:, 0, 0, :]), ref_orig).all(axis=1)
+        frac = from_orig.mean()
+        assert 0.19 < frac < 0.31, frac  # expected 0.25
+
+        # no key (eval drains pass a deterministic key; None = member 0)
+        p0 = gather_from_multi((stacked, lookup), coords[:4], 0)
+        np.testing.assert_allclose(np.asarray(p0[:, 0, 0, :]),
+                                   np.tile(ref_orig, (4, 1)), rtol=1e-6)
+
 
 @pytest.fixture(scope="module")
 def avon_dir(tmp_path_factory):

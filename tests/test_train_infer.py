@@ -147,15 +147,19 @@ class TestTraining:
         assert any(tag.startswith("params/") for tag in tags)
         assert any(tag.endswith("kernel") for tag in tags)
 
-    def test_non_chief_process_writes_nothing(self, synthetic_loader, tmp_path,
-                                              monkeypatch):
-        """On a multi-host run only the chief performs I/O; simulate a
-        non-zero process index and assert the log dir stays empty."""
+    def test_non_chief_process_writes_no_summaries(self, synthetic_loader, tmp_path,
+                                                   monkeypatch):
+        """On a multi-host run only the chief writes summaries/history/CSVs;
+        simulate a non-zero process index and assert the log dir stays
+        empty.  (Checkpoints are NOT chief-gated — orbax's save is a global
+        collective, exercised for real in tests/test_multiprocess.py — so
+        checkpointing stays off here: a faked process_index with no actual
+        distributed runtime would make orbax wait on a primary that never
+        saves.)"""
         import hypelcnn_tpu.parallel.distributed as dist
         monkeypatch.setattr(dist.jax, "process_index", lambda: 1)
         np.random.seed(0)
-        trainer, _ = make_trainer(synthetic_loader, log_dir=str(tmp_path),
-                                  save_checkpoint_steps=10)
+        trainer, _ = make_trainer(synthetic_loader, log_dir=str(tmp_path))
         result = trainer.fit(num_steps=10, batch_size=16, log_every=10)
         assert np.isfinite(result.loss)
         assert os.listdir(str(tmp_path)) == []
