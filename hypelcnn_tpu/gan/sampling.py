@@ -92,7 +92,10 @@ class TargetBasedSampler(Sampler):
 
     def get_sample_pairs(self, data_set, loader, shadow_map):
         targets = loader.read_targets("shadow_gen_model/class_result.tif")
-        sm = np.asarray(shadow_map)
+        # target coordinates are scene-frame; trim the neighborhood padding
+        # off the shadow map like the sibling samplers do, or membership
+        # shifts by `neighborhood` pixels
+        sm = _unpadded_shadow_map(np.asarray(shadow_map), data_set.neighborhood)
         h, w = data_set.get_scene_shape()
         # margin filter (reference `:98-106`)
         valid = ((targets[:, 1] > self._margin) & (targets[:, 1] < h - self._margin)

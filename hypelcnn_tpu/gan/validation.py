@@ -195,10 +195,12 @@ class PeerValidator:
                                                shadow_map, fetch_shadows=False)
         shadow_samples = load_samples_for_testing(data_set, sample_count, neighborhood,
                                                   shadow_map, fetch_shadows=True)
-        self.shadowed = DirectionValidator("shadowed", log_dir, bands, lit_samples,
-                                           shadow_ratio)
-        self.deshadowed = DirectionValidator("deshadowed", log_dir, bands, shadow_samples,
-                                             1.0 / shadow_ratio)
+        self.shadowed = DirectionValidator(
+            "shadowed", log_dir, bands, lit_samples,
+            adj_shadow_ratio(shadow_ratio, is_shadow=False))
+        self.deshadowed = DirectionValidator(
+            "deshadowed", log_dir, bands, shadow_samples,
+            adj_shadow_ratio(shadow_ratio, is_shadow=True))
 
     def run(self, shadow_fn, deshadow_fn, iteration: int, plot: bool = True):
         self.shadowed.run(shadow_fn, iteration, plot=plot)

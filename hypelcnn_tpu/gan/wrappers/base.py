@@ -62,7 +62,13 @@ def pool_apply(pool: PoolState, gen_data: jax.Array, gen_inputs: jax.Array,
     p = pool.buffer.shape[0]
     b = gen_data.shape[0]
     k1, k2 = jax.random.split(key)
-    slots = jax.random.randint(k1, (b,), 0, p)
+    if b <= p:
+        # distinct slots: with replacement, colliding elements would read the
+        # same pool entry and one generated sample would be silently dropped
+        # by the duplicate-index scatter (order unspecified)
+        slots = jax.random.choice(k1, p, (b,), replace=False)
+    else:  # degenerate batch > pool: collisions unavoidable
+        slots = jax.random.randint(k1, (b,), 0, p)
     swap = jax.random.bernoulli(k2, 0.5, (b,)) & (pool.count >= p)
     bshape = (b,) + (1,) * (gen_data.ndim - 1)
     swap_b = swap.reshape(bshape)

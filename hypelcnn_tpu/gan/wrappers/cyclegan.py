@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from hypelcnn_tpu.gan.losses import (
+    cycle_consistency_loss,
     identity_loss,
     l2_regularization,
     least_squares_discriminator_loss,
@@ -84,8 +85,7 @@ class CycleGANTrainer(GANTrainerBase):
             gen_x = g_apply({"params": gen_params["gen_y2x"]}, y)      # F(y)
             rec_x = g_apply({"params": gen_params["gen_y2x"]}, gen_y)  # F(G(x))
             rec_y = g_apply({"params": gen_params["gen_x2y"]}, gen_x)  # G(F(y))
-            aux = self.cycle_weight * (jnp.mean(jnp.abs(rec_x - x))
-                                       + jnp.mean(jnp.abs(rec_y - y)))
+            aux = self.cycle_weight * cycle_consistency_loss(x, rec_x, y, rec_y)
             if self.use_identity:
                 aux = aux + self.identity_weight * (identity_loss(x, gen_y)
                                                     + identity_loss(y, gen_x))

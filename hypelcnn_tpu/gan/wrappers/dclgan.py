@@ -27,6 +27,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+from hypelcnn_tpu.gan.losses import cycle_consistency_loss
 from hypelcnn_tpu.gan.models import (
     ShadowDiscriminator,
     ShadowFeatureDiscriminator,
@@ -99,6 +100,18 @@ class DCLCycleGANTrainer(DCLGANTrainer):
         self.apply_cycle_loss_fix = config.get("apply_cycle_loss_fix", False)
         self.cycle_weight = config.get("cycle_consistency_loss_weight", 10.0)
 
+    def init_state(self, key: jax.Array) -> GANState:
+        state = super().init_state(key)
+        if self.apply_cycle_loss_fix:
+            # the extra cycle update gets its OWN optimizer state: reusing
+            # the unit's gen state would advance the LR schedule count twice
+            # per global step, finishing the decay at half the horizon (and
+            # cross-contaminate Adam moments between the two losses)
+            for unit in ("x2y", "y2x"):
+                state.opt_states[unit]["cycle_gen"] = self.txs["gen"].init(
+                    state.params[unit]["gen"])
+        return state
+
     def build_train_step(self):
         if not self.apply_cycle_loss_fix:
             # effective reference behavior: cycle term computed-but-discarded
@@ -110,25 +123,29 @@ class DCLCycleGANTrainer(DCLGANTrainer):
         txs = self.txs
 
         def step(state: GANState, x, y, key):
-            # "fixed" variant: one extra joint generator step on the cycle loss
+            # "fixed" variant: one extra joint generator step on the cycle
+            # loss, using the dedicated cycle optimizer state (see init_state)
             def cycle_loss_fn(gens):
                 gen_y = g_apply({"params": gens["x2y"]}, x)
                 gen_x = g_apply({"params": gens["y2x"]}, y)
                 rec_x = g_apply({"params": gens["y2x"]}, gen_y)
                 rec_y = g_apply({"params": gens["x2y"]}, gen_x)
-                return cycle_w * (jnp.mean(jnp.abs(rec_x - x))
-                                  + jnp.mean(jnp.abs(rec_y - y)))
+                return cycle_w * cycle_consistency_loss(x, rec_x, y, rec_y)
 
+            # the base step rebuilds opt_states from its substeps (gen/disc/
+            # featd only) — carry the cycle states across it explicitly
+            cycle_opts = {u: state.opt_states[u]["cycle_gen"]
+                          for u in ("x2y", "y2x")}
             state, metrics = base_step(state, x, y, key)
             gens = {"x2y": state.params["x2y"]["gen"], "y2x": state.params["y2x"]["gen"]}
             c_loss, grads = jax.value_and_grad(cycle_loss_fn)(gens)
             for unit in ("x2y", "y2x"):
                 import optax
                 updates, new_opt = txs["gen"].update(
-                    grads[unit], state.opt_states[unit]["gen"], state.params[unit]["gen"])
+                    grads[unit], cycle_opts[unit], state.params[unit]["gen"])
                 state.params[unit]["gen"] = optax.apply_updates(
                     state.params[unit]["gen"], updates)
-                state.opt_states[unit]["gen"] = new_opt
+                state.opt_states[unit]["cycle_gen"] = new_opt
             metrics["cycle_loss"] = c_loss
             return state, metrics
 

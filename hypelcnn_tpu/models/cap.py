@@ -28,8 +28,13 @@ import jax
 import jax.numpy as jnp
 
 from hypelcnn_tpu.core.registry import register_model
-from hypelcnn_tpu.models.base import ModelOutput, NNModel, softmax_cross_entropy
-from hypelcnn_tpu.models.layers import SlimConv, SlimDense, xavier
+from hypelcnn_tpu.models.base import (
+    ModelOutput,
+    NNModel,
+    reconstruction_loss,
+    softmax_cross_entropy,
+)
+from hypelcnn_tpu.models.layers import SlimConv, SlimDense
 from hypelcnn_tpu.ops.nn import leaky_relu, squash
 
 DEFAULT_PARAMS: Dict[str, Any] = {
@@ -76,8 +81,16 @@ class CAPModule(nn.Module):
         data_size = (net.shape[1] * net.shape[2] * net.shape[3]) // pco
         u = net.reshape(net.shape[0], data_size, pco)
 
-        # per-input-capsule transform (one fused einsum vs. data_size 1x1 convs)
-        w = self.param("digitcaps_w", xavier, (data_size, pco, dcc * dco))
+        # per-input-capsule transform (one fused einsum vs. data_size 1x1
+        # convs).  Init parity: the reference draws each capsule's [1,1,pco,
+        # dcc*dco] conv weight independently with xavier over fan_in=pco
+        # (`CAPModel.py:73-78`), so the capsule axis is a BATCH axis for the
+        # initializer — plain xavier on the 3D shape would fold data_size
+        # into the receptive field and shrink init std by ~sqrt(data_size).
+        per_capsule_xavier = nn.initializers.xavier_uniform(
+            in_axis=-2, out_axis=-1, batch_axis=0)
+        w = self.param("digitcaps_w", per_capsule_xavier,
+                       (data_size, pco, dcc * dco))
         b_lin = self.param("digitcaps_b", nn.initializers.zeros, (data_size, dcc * dco))
         u_hat = jnp.einsum("bdp,dpq->bdq", u, w,
                            preferred_element_type=jnp.float32) + b_lin
@@ -139,6 +152,4 @@ class CAPModel(NNModel):
         ce = softmax_cross_entropy(output.y_conv, labels_onehot)
         if output.image_output is None:
             return ce
-        original = output.image_original.reshape(output.image_original.shape[0], -1)
-        recon = jnp.mean(jnp.square(output.image_output - original))
-        return ce + recon
+        return ce + reconstruction_loss(output)

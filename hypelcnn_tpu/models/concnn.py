@@ -64,8 +64,12 @@ class CONCNNModule(nn.Module):
         net22 = self._conv(f1, 1, "conv22")(net21, train=train)
         net22 = net22 + net13
 
-        # drop rate == keep_prob passed in reference (`:53`): 0.5 either way
-        drop_rate = p["drop_out_ratio"]
+        # reference quirk PRESERVED (`CONCNNModel.py:53-58`): drop_out_ratio
+        # is passed POSITIONALLY as slim dropout's keep_prob, so the kept
+        # fraction equals drop_out_ratio and the flax rate is its inverse
+        # (indistinguishable only at the 0.5 default; diverges for every
+        # other tuned value)
+        drop_rate = 1.0 - p["drop_out_ratio"]
         net31 = self._conv(f1, 1, "conv31")(net22, train=train)
         net31 = nn.Dropout(rate=drop_rate, deterministic=not train)(net31)
         net32 = self._conv(f1, 1, "conv32")(net31, train=train)

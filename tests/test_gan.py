@@ -191,3 +191,27 @@ class TestValidation:
         good = divergence_for_ratios(np.full(12, 1.05))
         bad = divergence_for_ratios(np.full(12, 2.0))
         assert bad > good
+
+
+def test_dcl_cycle_fix_advances_gen_schedule_once_per_step():
+    """The apply_cycle_loss_fix extra update must use its OWN optimizer
+    state: reusing the unit's gen state advanced the LR schedule count twice
+    per global step, finishing the decay at half the horizon."""
+    config = dict(CONFIG, apply_cycle_loss_fix=True)
+    trainer = get_trainer_dict(config, BANDS, max_steps=100)["dcl_cycle_gan"]
+    state = trainer.init_state(jax.random.key(0))
+    assert "cycle_gen" in state.opt_states["x2y"]
+    x, y = rand_pixels(1), rand_pixels(2) * 0.5
+    for i in range(3):
+        state, metrics = trainer.train_step(state, x, y, jax.random.key(7 + i))
+    assert "cycle_loss" in metrics
+
+    def schedule_count(opt_state):
+        counts = [int(leaf) for leaf in jax.tree.leaves(opt_state)
+                  if getattr(leaf, "ndim", None) == 0
+                  and jnp.issubdtype(leaf.dtype, jnp.integer)]
+        assert counts
+        return max(counts)
+
+    assert schedule_count(state.opt_states["x2y"]["gen"]) == 3
+    assert schedule_count(state.opt_states["x2y"]["cycle_gen"]) == 3

@@ -103,6 +103,24 @@ class TestCAP:
                                                      "primary_capsule_count": 4})
         assert out.image_output is None
 
+    def test_digitcaps_init_uses_per_capsule_fan(self):
+        """Init parity (reference CAPModel.py:73-78): each capsule's weight
+        is an independent xavier draw over fan_in=pco — the capsule axis
+        must NOT enlarge the initializer's receptive field (which would
+        shrink std by ~sqrt(data_size))."""
+        model = CAPModel()
+        x = jax.random.uniform(jax.random.key(6), (2, 3, 3, 9))
+        _, variables, _ = init_and_apply(model, x, train=False,
+                                         algorithm_params={"feature_count": 16,
+                                                           "primary_capsule_count": 4})
+        w = np.asarray(variables["params"]["digitcaps_w"])
+        data_size, pco, out_dim = w.shape
+        # xavier_uniform: std = sqrt(2 / (fan_in + fan_out)) with the
+        # per-capsule fans, independent of data_size
+        expected_std = np.sqrt(2.0 / (pco + out_dim))
+        assert 0.7 * expected_std < w.std() < 1.3 * expected_std, \
+            (w.std(), expected_std)
+
 
 class TestOps:
     def test_scale_in_to_out_repeat(self):
