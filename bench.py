@@ -63,6 +63,14 @@ def load_measured_baseline():
 
 
 def _flops_of(compiled) -> float:
+    """FLOPs of the compiled program per XLA's cost analysis.
+
+    CAVEAT (verified empirically): XLA counts a ``lax.scan`` body ONCE — the
+    trip count is NOT multiplied in.  For a scan-chunked train program the
+    returned number is therefore ~the FLOPs of ONE step, and chunk totals
+    must multiply by the scan length.  (An earlier bench divided this by the
+    chunk length, underreporting per-step FLOPs — and MFU — by ~chunk x.)
+    """
     cost = compiled.cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
@@ -73,6 +81,13 @@ def main() -> None:
     import argparse
 
     parser = argparse.ArgumentParser()
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="steps per compiled scan chunk (default 200; "
+                             "4 under --smoke).  Measured sweep on the v5e: "
+                             "50: 715k / 200: 784k / 500: 798k patches/s — "
+                             "dispatch overhead is ~0.5 ms/step at 50; 200 "
+                             "amortizes it while matching a realistic "
+                             "log-every-200 training cadence")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a CPU correctness pass; NOT a benchmark")
     args = parser.parse_args()
@@ -116,28 +131,29 @@ def main() -> None:
 
     # ---- training throughput: compiled scan chunk, median of 10 windows ----
     train = samples.training_targets
-    coords_table = jnp.asarray(train[:, :2].astype(np.int32))
-    labels_table = jnp.asarray(train[:, 2].astype(np.int32))
-    trainer._train_key_base = trainer.rng_pool.key("train", 0)
-    step_fn = trainer._build_train_chunk(coords_table, labels_table)
+    # tables ride as program arguments (trainer._build_train_chunk contract)
+    tables = (jnp.asarray(train[:, :2].astype(np.int32)),
+              jnp.asarray(train[:, 2].astype(np.int32)),
+              trainer.rng_pool.key("train", 0))
+    step_fn = trainer._build_train_chunk()
     state = trainer.init_state()
 
-    chunk = 4 if args.smoke else 50
+    chunk = args.chunk or (4 if args.smoke else 200)
     arrays = trainer.sources["training"].device_arrays()
     idx = jnp.asarray(np.random.randint(0, train.shape[0],
                                         size=(chunk, batch_size)).astype(np.int32))
     step_nos = jnp.arange(chunk, dtype=jnp.uint32)
-    lowered = step_fn.lower(state, arrays, idx, step_nos)
+    lowered = step_fn.lower(state, arrays, tables, idx, step_nos)
     compiled = lowered.compile()
-    chunk_flops = _flops_of(compiled)
+    step_flops = _flops_of(compiled)  # scan body counted once = ONE step
 
-    state, losses = compiled(state, arrays, idx, step_nos)  # warm
+    state, losses = compiled(state, arrays, tables, idx, step_nos)  # warm
     float(losses[-1])
 
     windows = []
     for _ in range(10):
         t0 = time.time()
-        state, losses = compiled(state, arrays, idx, step_nos)
+        state, losses = compiled(state, arrays, tables, idx, step_nos)
         # synchronize by FETCHING a scalar: through the remote tunnel
         # block_until_ready does not reliably block (verify SKILL.md)
         float(losses[-1])
@@ -147,7 +163,7 @@ def main() -> None:
 
     device_kind = jax.devices()[0].device_kind
     peak = peak_flops_for(device_kind)
-    achieved_flops = chunk_flops / elapsed if chunk_flops else None
+    achieved_flops = step_flops * chunk / elapsed if step_flops else None
     mfu = (achieved_flops / peak) if (achieved_flops and peak) else None
 
     # ---- full-scene inference: one jitted scan sweep over the whole scene ----
@@ -179,7 +195,7 @@ def main() -> None:
                      + (" (smoke)" if args.smoke else " (GRSS2013 scale, HBM-resident)"),
             "batch_size": batch_size,
             "train_step_ms": round(elapsed / chunk * 1e3, 3),
-            "train_flops_per_step": round(chunk_flops / chunk) if chunk_flops else None,
+            "train_flops_per_step": round(step_flops) if step_flops else None,
             "train_achieved_tflops": round(achieved_flops / 1e12, 2) if achieved_flops else None,
             "train_mfu": round(mfu, 4) if mfu is not None else None,
             "peak_bf16_tflops": round(peak / 1e12) if peak else None,
