@@ -101,10 +101,20 @@ def perform_an_episode(flags, algorithm_params, model, base_log_path) -> Trainin
                                        flags.neighborhood)
 
     shadow_struct = None
-    if flags.augment_data_with_shadow is not None and data.scene is not None:
+    if flags.augment_data_with_shadow is not None:
+        if data.scene is None:
+            raise ValueError(
+                "--augment_data_with_shadow requires a scene-backed importer "
+                "(the record pipeline carries no scene to synthesize from)")
         from hypelcnn_tpu.gan.shadow_ops import build_shadow_creators
         shadow_dict = build_shadow_creators(data.loader, data.scene, flags.neighborhood)
-        shadow_struct = shadow_dict.get(flags.augment_data_with_shadow)
+        if flags.augment_data_with_shadow not in shadow_dict:
+            # fail loudly like the reference's dict[...] KeyError — a silent
+            # None would run 50k steps without the requested augmentation
+            raise KeyError(
+                f"unknown shadow method {flags.augment_data_with_shadow!r}; "
+                f"available: {sorted(shadow_dict)}")
+        shadow_struct = shadow_dict[flags.augment_data_with_shadow]
 
     augmentation_info = AugmentationInfo(
         shadow_struct=shadow_struct,

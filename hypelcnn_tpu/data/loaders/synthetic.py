@@ -31,7 +31,14 @@ from hypelcnn_tpu.data.splitters import (
 @register_loader("SyntheticDataLoader")
 class SyntheticDataLoader(DataLoader):
     def __init__(self, path: str = "synthetic://"):
-        q = parse_qs(urlparse(path if "//" in str(path) else "synthetic://").query)
+        path = str(path) if path else "synthetic://"
+        if not path.startswith("synthetic:") or "//" not in path:
+            # a malformed spec or a plain directory path must not silently
+            # become the default 64x96 scene
+            raise ValueError(
+                f"SyntheticDataLoader path must look like "
+                f"'synthetic://?h=..&w=..&bands=..', got {path!r}")
+        q = parse_qs(urlparse(path).query)
         self.height = int(q.get("h", [64])[0])
         self.width = int(q.get("w", [96])[0])
         self.bands = int(q.get("bands", [144])[0])

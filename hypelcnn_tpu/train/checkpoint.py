@@ -52,9 +52,14 @@ def restore_checkpoint(log_dir: str, template) -> Optional[object]:
 
 def save_params_pytree(path: str, params) -> None:
     """Standalone params save (e.g. a trained GAN generator for reuse as a
-    frozen augmenter — reference `loader/GRSS2013DataLoader.py:29-33`)."""
+    frozen augmenter — reference `loader/GRSS2013DataLoader.py:29-33`).
+
+    ``force=True``: log dirs are deterministic functions of the flags, so a
+    re-run with identical flags targets the same path — tf.train.Saver
+    overwrote, and orbax must too or the second run dies at its first
+    checkpoint (after a full training cadence)."""
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.abspath(path), params)
+    ckpt.save(os.path.abspath(path), params, force=True)
     ckpt.wait_until_finished()
     ckpt.close()
 

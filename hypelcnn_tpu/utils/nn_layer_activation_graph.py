@@ -78,9 +78,53 @@ def main(argv=None) -> None:
     flags, _ = parser.parse_known_args(argv)
 
     k = flags.neighborhood * 2 + 1
+    from hypelcnn_tpu.core.config import load_algorithm_params
+    nn_model = get_model_from_name(flags.model_name)
+    algorithm_params = load_algorithm_params(nn_model.default_params(),
+                                             flags.algorithm_param_path)
+
+    # restore the trained checkpoint when --base_log_path points at a run
+    # (reference restores the nn_core scope, `utilities/
+    # nn_layer_activation_graph.py:135-143`); otherwise histograms come
+    # from a fresh random init
+    variables = None
+    base = getattr(flags, "base_log_path", None)
+    if base and os.path.isdir(os.path.join(base, "checkpoints")):
+        import jax
+
+        from hypelcnn_tpu.train.checkpoint import restore_checkpoint
+        from hypelcnn_tpu.train.optimizer import build_optimizer
+        from hypelcnn_tpu.train.state import TrainState
+        module = nn_model.create_module(flags.class_count, algorithm_params)
+        x = controlled_patches((k, k, flags.bands), flags.level_count)
+        # init like the trainer does (train=True with labels) so the
+        # template carries the same param structure the checkpoint was
+        # saved with (reconstruction/decoder heads exist only in train mode)
+        import jax.numpy as jnp
+        dummy_labels = jax.nn.one_hot(
+            jnp.zeros((x.shape[0],), jnp.int32), flags.class_count)
+        init_vars = jax.jit(
+            lambda r: module.init(r, x, labels=dummy_labels, train=True))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)})
+        tx, _ = build_optimizer(algorithm_params)
+        template = TrainState.create(init_vars["params"],
+                                     init_vars.get("batch_stats", {}), tx)
+        restored = restore_checkpoint(base, template)
+        if restored is None:
+            raise FileNotFoundError(
+                f"--base_log_path={base} has a checkpoints/ dir but no "
+                f"restorable checkpoint")
+        variables = {"params": restored.params}
+        if restored.batch_stats:
+            variables["batch_stats"] = restored.batch_stats
+        print(f"Restored checkpoint at step {int(restored.step)} from {base}")
+    elif base:
+        print(f"No checkpoints under {base}; histograms use random init")
+
     histograms = plot_activation_histograms(
         flags.model_name, flags.class_count, (k, k, flags.bands),
-        flags.level_count, flags.output_path)
+        flags.level_count, flags.output_path,
+        algorithm_params=algorithm_params, variables=variables)
     print(f"Plotted {len(histograms)} activation histograms to {flags.output_path}")
 
 

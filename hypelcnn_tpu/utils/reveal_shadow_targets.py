@@ -31,6 +31,11 @@ from hypelcnn_tpu.utils.tiff_io import imwrite
 BUILDING_CLASS = 7
 BUILDING_SHADOW_CLASS = 6
 
+# reference quirk PRESERVED (`utilities/reveal_shadow_targets.py:120`,
+# neighborhood_pair_list): (1, 0) appears TWICE and (-1, 0) is missing, so
+# the south neighbor votes double and the north neighbor never votes; the
+# vote init at -1 (below) is likewise the reference's.  Do not "fix" —
+# contour reassignment output would silently diverge.
 _NEIGHBOR_DELTAS = [(0, 1), (0, -1), (1, 0), (1, 1), (1, -1), (1, 0), (-1, 1), (-1, -1)]
 
 

@@ -39,7 +39,12 @@ def imwrite(path: str, data: np.ndarray) -> None:
     if path.endswith(".npy"):
         np.save(path, data)
         return
-    if data.ndim == 3 and data.shape[2] not in (3, 4):
+    # only a uint8 3/4-channel array is an RGB(A) image; a float/uint16
+    # 3- or 4-band scene is a band stack and must go multi-page (the RGB
+    # path would raise TypeError or silently drop the band-axis convention)
+    is_rgb_image = (data.ndim == 3 and data.shape[2] in (3, 4)
+                    and data.dtype == np.uint8)
+    if data.ndim == 3 and not is_rgb_image:
         pages = [Image.fromarray(np.ascontiguousarray(data[:, :, i])) for i in range(data.shape[2])]
         pages[0].save(path, save_all=True, append_images=pages[1:])
     else:

@@ -161,3 +161,25 @@ class TestParityHarness:
         assert "full_scene_seconds" in report
         assert "parity_target_met" in report
         assert (tmp_path / "parity" / "scene_map.npy").exists()
+
+
+class TestLoudErrors:
+    def test_unknown_shadow_method_raises(self, tmp_path):
+        """A typo'd --augment_data_with_shadow must fail loudly (reference
+        dict[...] KeyError), not silently train without augmentation."""
+        from hypelcnn_tpu.apps.train_for_classification import main
+        with pytest.raises(KeyError, match="cyclegan"):
+            main(["--loader_name=SyntheticDataLoader",
+                  "--path=synthetic://?h=32&w=32&bands=8&classes=3",
+                  "--model_name=CONCNNModel", "--importer_name=GeneratorImporter",
+                  "--neighborhood=1", "--train_ratio=0.4", "--test_ratio=0.1",
+                  "--step=2", "--batch_size=8",
+                  "--augment_data_with_shadow=cyclegan",
+                  f"--base_log_path={tmp_path}"])
+
+    def test_malformed_synthetic_path_raises(self):
+        from hypelcnn_tpu.data.loaders.synthetic import SyntheticDataLoader
+        with pytest.raises(ValueError, match="synthetic://"):
+            SyntheticDataLoader("/data/2013_DFTC/2013_DFTC")
+        with pytest.raises(ValueError, match="synthetic://"):
+            SyntheticDataLoader("synthetic:?h=128")

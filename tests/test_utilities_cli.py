@@ -53,6 +53,39 @@ class TestActivationGraph:
         assert any(f.startswith("activation_spectral_expansion") for f in files)
         assert any(f.startswith("activation_classification") for f in files)
 
+    def test_restores_trained_checkpoint(self, tmp_path, capsys):
+        """--base_log_path must histogram the TRAINED variables (reference
+        restores nn_core, utilities/nn_layer_activation_graph.py:135-143) —
+        this tool once silently plotted random-init activations."""
+        import json
+
+        from hypelcnn_tpu.apps.train_for_classification import main as train_main
+        from hypelcnn_tpu.utils.nn_layer_activation_graph import main
+
+        cfg = tmp_path / "alg.json"
+        cfg.write_text(json.dumps({
+            "drop_out_ratio": 0.5, "learning_rate": 1e-3,
+            "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+            "filter_count": 32, "optimizer": "AdamOptimizer"}))
+        train_main(["--loader_name=SyntheticDataLoader",
+                    "--path=synthetic://?h=32&w=32&bands=8&classes=4",
+                    "--model_name=HYPELCNNModel",
+                    "--importer_name=GeneratorImporter",
+                    "--neighborhood=1", "--train_ratio=0.4", "--test_ratio=0.1",
+                    "--step=4", "--batch_size=8",
+                    f"--algorithm_param_path={cfg}",
+                    f"--base_log_path={tmp_path}", "--save_checkpoint_steps=4"])
+        run_dir = [d for d in os.listdir(tmp_path)
+                   if (tmp_path / d / "checkpoints").is_dir()][0]
+
+        main(["--model_name=HYPELCNNModel", "--neighborhood=1",
+              "--class_count=4", "--bands=9", "--level_count=2",
+              f"--algorithm_param_path={cfg}",
+              f"--base_log_path={tmp_path / run_dir}",
+              f"--output_path={tmp_path / 'act'}"])
+        assert "Restored checkpoint at step 4" in capsys.readouterr().out
+        assert os.listdir(tmp_path / "act")
+
 
 class TestGanInferImage:
     def test_scene_translation_outputs(self, tmp_path):
