@@ -1,0 +1,196 @@
+"""Weight-for-weight forward-pass parity vs the reference's OWN TF graph.
+
+Builds the reference HYPELCNN graph (code imported from `/root/reference`,
+tf_slim shim) and the rebuild's flax module with the SAME algorithm params,
+randomizes every TF variable (conv/dense weights, BN beta + moving stats),
+copies them value-for-value into the flax param/batch_stats pytrees via the
+name mapping below, runs both on one input batch in inference mode, and
+reports the logit difference.
+
+This is the strongest accuracy-parity evidence available without the
+licensed datasets: if the two stacks are numerically identical given equal
+weights, training-accuracy parity reduces to optimizer/data parity (covered
+by the optimizer tests and the splitter/augmentation parity tests).
+
+Name mapping (flax -> TF):
+  <scope>/Conv_0/kernel          -> <scope>/weights          (HWIO both)
+  <scope>/Dense_0/kernel         -> <scope>/weights          ([in, out] both)
+  <scope>/BatchNorm_0/bias       -> <scope>/BatchNorm/beta
+  batch_stats <scope>/BatchNorm_0/{mean,var}
+                                 -> <scope>/BatchNorm/{moving_mean,moving_variance}
+
+Usage: python scripts/forward_parity.py [--bands 9] [--classes 5]
+       [--filter_count 64] [--batch 8] [--json]
+Exit code 0 iff max |logit delta| / mean|logit| < 1e-4 (f32 noise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+SCRIPTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(SCRIPTS_DIR)
+sys.path.insert(0, SCRIPTS_DIR)
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def build_reference_logits(model_name, x_batch, algorithm_params, class_count, rng):
+    """Run the reference graph; returns (logits, {tf_var_name: value})."""
+    from measure_tf_reference import install_dependency_shims
+
+    install_dependency_shims()
+    import importlib
+
+    import tensorflow as tf
+
+    v1 = tf.compat.v1
+    v1.disable_v2_behavior()  # reference code relies on Dimension.value
+    v1.disable_eager_execution()
+
+    RefModel = getattr(importlib.import_module(f"nnmodel.{model_name}"),
+                       model_name)
+    from common.common_nn_ops import ModelInputParams
+
+    graph = v1.Graph()
+    with graph.as_default():
+        x = v1.placeholder(tf.float32, x_batch.shape, name="x")
+        params = ModelInputParams(x=x, y=None, device_id="/cpu:0",
+                                  is_training=False)
+        out = RefModel().create_tensor_graph(params, class_count, algorithm_params)
+        variables = v1.global_variables()
+        assign_ops = []
+        values = {}
+        for var in variables:
+            shape = tuple(var.get_shape().as_list())
+            if "moving_variance" in var.name:
+                val = rng.uniform(0.5, 2.0, shape).astype(np.float32)
+            else:
+                val = rng.normal(0.0, 0.2, shape).astype(np.float32)
+            values[var.name] = val
+            assign_ops.append(var.assign(val))
+        with v1.Session(graph=graph) as sess:
+            sess.run(assign_ops)
+            logits = sess.run(out.y_conv, feed_dict={x: x_batch})
+    return logits, values
+
+
+def flax_path_to_tf_name(path) -> str:
+    parts = [getattr(k, "key", str(k)) for k in path]
+    scope = parts[0]
+    if parts[1] in ("Conv_0", "Dense_0"):
+        if parts[2] == "kernel":
+            return f"{scope}/weights:0"
+        if parts[2] == "bias":
+            return f"{scope}/biases:0"
+    if parts[1] == "BatchNorm_0":
+        leaf = {"bias": "beta", "scale": "gamma",
+                "mean": "moving_mean", "var": "moving_variance"}[parts[2]]
+        return f"{scope}/BatchNorm/{leaf}:0"
+    raise KeyError(f"no TF mapping for flax path {parts}")
+
+
+def build_rebuild_logits(model_name, x_batch, algorithm_params, class_count,
+                         tf_values):
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from hypelcnn_tpu.core.registry import get_model_from_name
+
+    module = get_model_from_name(model_name).create_module(
+        class_count, algorithm_params)
+    variables = module.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            jnp.asarray(x_batch), train=False)
+
+    used = set()
+
+    def fill(path, leaf):
+        name = flax_path_to_tf_name(path)
+        used.add(name)
+        val = tf_values[name]
+        assert val.shape == leaf.shape, (name, val.shape, leaf.shape)
+        return jnp.asarray(val)
+
+    filled = {
+        "params": jax.tree_util.tree_map_with_path(
+            fill, variables["params"]),
+    }
+    if "batch_stats" in variables:
+        filled["batch_stats"] = jax.tree_util.tree_map_with_path(
+            fill, variables["batch_stats"])
+    unused = set(tf_values) - used
+    out = module.apply(filled, jnp.asarray(x_batch), train=False)
+    return np.asarray(out.y_conv), unused
+
+
+MODEL_SETUPS = {
+    # model -> (neighborhood, extra algorithm_params)
+    "HYPELCNNModel": (1, {
+        "lrelu_alpha": 0.18, "bn_decay": 0.95, "l2regularizer_scale": 1e-5,
+        "spectral_hierarchy_level": 3, "spatial_hierarchy_level": 3,
+        "degradation_coeff": 3, "use_residual": True}),
+    "CONCNNModel": (2, {}),
+    "DUALCNNModel": (2, {"lrelu_alpha": 0.18, "hs_lidar_diff": 1}),
+}
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="HYPELCNNModel",
+                        choices=sorted(MODEL_SETUPS))
+    parser.add_argument("--bands", type=int, default=9,
+                        help="total input bands incl. the LiDAR band")
+    parser.add_argument("--classes", type=int, default=5)
+    parser.add_argument("--filter_count", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--tolerance", type=float, default=1e-4,
+                        help="bound on max|delta| / mean|logit|")
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args(argv)
+
+    neighborhood, extra = MODEL_SETUPS[args.model]
+    algorithm_params = {
+        "filter_count": args.filter_count,
+        "drop_out_ratio": 0.5, "batch_size": args.batch,
+        "optimizer": "AdamOptimizer", "learning_rate": 1e-4,
+        "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+        "compute_dtype": "float32", **extra,
+    }
+    k = 2 * neighborhood + 1
+    rng = np.random.default_rng(0)
+    x_batch = rng.uniform(0, 1, (args.batch, k, k, args.bands)).astype(np.float32)
+
+    ref_logits, tf_values = build_reference_logits(
+        args.model, x_batch, algorithm_params, args.classes, rng)
+    our_logits, unused = build_rebuild_logits(
+        args.model, x_batch, algorithm_params, args.classes, tf_values)
+
+    max_abs = float(np.max(np.abs(ref_logits - our_logits)))
+    scale = float(np.abs(ref_logits).mean())
+    # scale-normalized criterion: f32 reduction-order noise grows with the
+    # logit magnitude (LRN/deep products), while a real structural
+    # divergence would be O(1) of the scale
+    normalized = max_abs / max(scale, 1e-6)
+    report = {
+        "model": args.model,
+        "max_abs_logit_delta": max_abs,
+        "logit_scale": scale,
+        "scale_normalized_delta": normalized,
+        "tf_variables_mapped": len(tf_values) - len(unused),
+        "tf_variables_unmapped": sorted(unused),
+        "ok": bool(normalized < args.tolerance and not unused),
+    }
+    print(json.dumps(report, indent=None if args.json else 2))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

