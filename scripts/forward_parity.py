@@ -82,6 +82,11 @@ def build_reference_logits(model_name, x_batch, algorithm_params, class_count, r
 def flax_path_to_tf_name(path) -> str:
     parts = [getattr(k, "key", str(k)) for k in path]
     scope = parts[0]
+    if len(parts) == 2:  # directly-named flax layer (e.g. the GAN convs)
+        if parts[1] == "kernel":
+            return f"{scope}/weights:0"
+        if parts[1] == "bias":
+            return f"{scope}/biases:0"
     if parts[1] in ("Conv_0", "Dense_0"):
         if parts[2] == "kernel":
             return f"{scope}/weights:0"
@@ -131,6 +136,144 @@ def build_rebuild_logits(model_name, x_batch, algorithm_params, class_count,
     return np.asarray(out.y_conv), unused
 
 
+def _tf_session_values_and_output(build, x_batch, rng, preset=None):
+    """Build a TF graph via ``build(x)``; assign ``preset`` values by name
+    when given (else randomize), run the output."""
+    import tensorflow as tf
+
+    v1 = tf.compat.v1
+    graph = v1.Graph()
+    with graph.as_default():
+        x = v1.placeholder(tf.float32, x_batch.shape, name="x")
+        out = build(x)
+        assign_ops, values = [], {}
+        for var in v1.global_variables():
+            shape = tuple(var.get_shape().as_list())
+            if preset is not None:
+                val = preset[var.name]
+            else:
+                val = rng.normal(0.0, 0.2, shape).astype(np.float32)
+            values[var.name] = val
+            assign_ops.append(var.assign(val))
+        with v1.Session(graph=graph) as sess:
+            sess.run(assign_ops)
+            result = sess.run(out, feed_dict={x: x_batch})
+    return result, values
+
+
+def gan_parity(band_size: int, batch: int, patch_count: int,
+               embedded_feature_size: int, tolerance: float):
+    """Forward parity for the GAN model stack (generator enc/full,
+    discriminator, feature discriminator) vs reference
+    `gan/shadow_data_models.py`."""
+    from measure_tf_reference import install_dependency_shims
+
+    install_dependency_shims()
+    import gan.shadow_data_models as ref
+    import tensorflow as tf
+
+    tf.compat.v1.disable_v2_behavior()
+    tf.compat.v1.disable_eager_execution()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from hypelcnn_tpu.gan.models import (
+        ShadowDiscriminator,
+        ShadowFeatureDiscriminator,
+        ShadowGenerator,
+    )
+
+    rng = np.random.default_rng(0)
+    x_batch = rng.uniform(0, 1, (batch, 1, 1, band_size)).astype(np.float32)
+    checks = []
+
+    def run_flax(module, tf_values, name_map, *apply_args, **apply_kwargs):
+        variables = module.init(jax.random.key(0), jnp.asarray(x_batch),
+                                **apply_kwargs)
+        used = set()
+
+        def fill(path, leaf):
+            tf_name = name_map(path)
+            used.add(tf_name)
+            val = tf_values[tf_name]
+            assert val.shape == leaf.shape, (tf_name, val.shape, leaf.shape)
+            return jnp.asarray(val)
+
+        filled = {"params": jax.tree_util.tree_map_with_path(
+            fill, variables["params"])}
+        out = module.apply(filled, jnp.asarray(x_batch), **apply_kwargs)
+        return np.asarray(out), set(tf_values) - used
+
+    def record(name, ref_out, our_out, unmapped):
+        ref_out = ref_out.reshape(our_out.shape)
+        max_abs = float(np.max(np.abs(ref_out - our_out)))
+        scale = float(np.abs(ref_out).mean())
+        normalized = max_abs / max(scale, 1e-6)
+        checks.append({
+            "check": name, "max_abs_delta": max_abs, "scale": scale,
+            "scale_normalized_delta": normalized,
+            "tf_variables_unmapped": sorted(unmapped),
+            "ok": bool(normalized < tolerance and not unmapped)})
+
+    # ---- generator: full path, then encoder with the same weights ----
+    full_out, gen_values = _tf_session_values_and_output(
+        lambda x: ref.shadowdata_generator_model(x, False, False), x_batch, rng)
+    gen = ShadowGenerator(band_size=band_size)
+    ours_full, _ = run_flax(gen, gen_values, flax_path_to_tf_name)
+    full_unmapped = set()  # full pass uses every net1..net7 variable
+    record("generator_full", full_out, ours_full, full_unmapped)
+
+    enc_out, _ = _tf_session_values_and_output(
+        lambda x: ref.shadowdata_generator_model(x, True, False), x_batch,
+        rng, preset=gen_values)  # inject the full graph's net1..net4 values
+    ours_enc, _ = run_flax(gen, gen_values, flax_path_to_tf_name,
+                           encoder_only=True)
+    record("generator_encoder", enc_out, ours_enc, set())
+
+    # ---- discriminator (3 dense layers, unscoped slim names) ----
+    disc_out, disc_values = _tf_session_values_and_output(
+        lambda x: ref.shadowdata_discriminator_model(x, x, False, 1e-5),
+        x_batch, rng)
+    disc_map = {"fc1": "fully_connected", "fc2": "fully_connected_1",
+                "fc3": "fully_connected_2"}
+
+    def disc_name(path):
+        parts = [getattr(k, "key", str(k)) for k in path]
+        leaf = {"kernel": "weights", "bias": "biases"}[parts[-1]]
+        return f"{disc_map[parts[0]]}/{leaf}:0"
+
+    disc = ShadowDiscriminator(band_size=band_size)
+    ours_disc, unmapped = run_flax(disc, disc_values, disc_name)
+    record("discriminator", disc_out, ours_disc, unmapped)
+
+    # ---- feature discriminator (per-patch dense stacks + global l2) ----
+    featd_out, featd_values = _tf_session_values_and_output(
+        lambda x: ref.shadowdata_feature_discriminator_model(
+            x, patch_count, embedded_feature_size, False, 1e-4),
+        x_batch, rng)
+
+    def featd_name(path):
+        parts = [getattr(k, "key", str(k)) for k in path]
+        # p{i}_fc{j} -> the (i*4 + j - 1)-th unscoped fully_connected
+        patch_i, fc_j = parts[0].split("_fc")
+        n = int(patch_i[1:]) * 4 + int(fc_j) - 1
+        scope = "fully_connected" if n == 0 else f"fully_connected_{n}"
+        leaf = {"kernel": "weights", "bias": "biases"}[parts[-1]]
+        return f"{scope}/{leaf}:0"
+
+    featd = ShadowFeatureDiscriminator(
+        band_size=band_size, patch_count=patch_count,
+        embedded_feature_size=embedded_feature_size)
+    ours_featd, unmapped = run_flax(featd, featd_values, featd_name)
+    record("feature_discriminator", featd_out, ours_featd, unmapped)
+
+    return checks
+
+
 MODEL_SETUPS = {
     # model -> (neighborhood, extra algorithm_params)
     "HYPELCNNModel": (1, {
@@ -154,7 +297,19 @@ def main(argv=None) -> int:
     parser.add_argument("--tolerance", type=float, default=1e-4,
                         help="bound on max|delta| / mean|logit|")
     parser.add_argument("--json", action="store_true")
+    parser.add_argument("--gan", action="store_true",
+                        help="check the GAN model stack instead of a "
+                             "classification model")
     args = parser.parse_args(argv)
+
+    if args.gan:
+        checks = gan_parity(band_size=16, batch=args.batch, patch_count=4,
+                            embedded_feature_size=2,
+                            tolerance=args.tolerance)
+        report = {"model": "gan_stack", "checks": checks,
+                  "ok": all(c["ok"] for c in checks)}
+        print(json.dumps(report, indent=None if args.json else 2))
+        return 0 if report["ok"] else 1
 
     neighborhood, extra = MODEL_SETUPS[args.model]
     algorithm_params = {

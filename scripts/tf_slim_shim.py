@@ -231,8 +231,55 @@ def dropout(inputs, keep_prob=0.5, is_training=True, scope=None):
     return tf.nn.dropout(inputs, rate=1.0 - keep_prob)
 
 
+def convolution1d(inputs, num_outputs, kernel_size, stride=1, padding="SAME",
+                  data_format=None, activation_fn=_UNSET, normalizer_fn=_UNSET,
+                  normalizer_params=_UNSET, weights_initializer=_UNSET,
+                  weights_regularizer=_UNSET, biases_initializer=None,
+                  scope=None, **kwargs):
+    """slim.convolution1d over [B, W, C] (the GAN generator's spectral convs,
+    reference gan/shadow_data_models.py:61-87)."""
+    del kwargs
+    params = _resolve(
+        "convolution1d",
+        dict(activation_fn=activation_fn, normalizer_fn=normalizer_fn,
+             normalizer_params=normalizer_params,
+             weights_initializer=weights_initializer,
+             weights_regularizer=weights_regularizer),
+        dict(activation_fn=tf.nn.relu, normalizer_fn=None,
+             normalizer_params=None, weights_initializer=None,
+             weights_regularizer=None))
+    activation_fn = params["activation_fn"]
+    normalizer_fn = params["normalizer_fn"]
+    normalizer_params = params["normalizer_params"] or {}
+    weights_initializer = params["weights_initializer"] or v1.glorot_uniform_initializer()
+    weights_regularizer = params["weights_regularizer"]
+
+    k = int(kernel_size[0] if isinstance(kernel_size, (list, tuple)) else kernel_size)
+    with v1.variable_scope(scope, default_name="Conv"):
+        in_ch = int(inputs.get_shape()[-1])
+        w = v1.get_variable("weights", [k, in_ch, int(num_outputs)],
+                            initializer=weights_initializer,
+                            regularizer=weights_regularizer)
+        out = tf.nn.conv1d(inputs, w, stride=int(stride), padding=padding)
+        if normalizer_fn is not None:
+            out = normalizer_fn(out, **normalizer_params)
+        else:
+            b_init = biases_initializer or v1.zeros_initializer()
+            b = v1.get_variable("biases", [int(num_outputs)], initializer=b_init)
+            out = tf.nn.bias_add(out, b)
+        if activation_fn is not None:
+            out = activation_fn(out)
+        return out
+
+
 def separable_conv2d(*args, **kwargs):  # pragma: no cover - GAN models only
     raise NotImplementedError("not needed for the classification baseline")
+
+
+def conv2d_transpose(*args, **kwargs):  # pragma: no cover
+    # importable (arg_scope lists it) but never called by the measured or
+    # parity-checked reference paths
+    raise NotImplementedError("not needed for the measured reference paths")
 
 
 def get_variables_to_restore(include=None, exclude=None):

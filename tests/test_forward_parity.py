@@ -39,3 +39,20 @@ def test_forward_matches_reference_graph(model):
     assert report["ok"], report
     assert report["tf_variables_unmapped"] == []
     assert report["scale_normalized_delta"] < 1e-4
+
+
+def test_gan_stack_matches_reference_graph():
+    """Generator (full + encoder), discriminator, and feature discriminator
+    vs reference gan/shadow_data_models.py, weight-for-weight (measured
+    deltas 3e-7..1.1e-6 of scale)."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "forward_parity.py"),
+         "--gan", "--json"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["ok"], report
+    assert {c["check"] for c in report["checks"]} == {
+        "generator_full", "generator_encoder", "discriminator",
+        "feature_discriminator"}
