@@ -21,6 +21,56 @@ he_truncated = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal
 xavier = nn.initializers.xavier_uniform()
 
 
+class SlimBatchNorm(nn.Module):
+    """Batch norm with tf-slim/TF-fused semantics (center, no scale).
+
+    Differs from ``flax.linen.BatchNorm`` in ONE way: the running-variance
+    EMA uses the BESSEL-CORRECTED batch variance (``var * n/(n-1)``) while
+    normalization uses the biased variance — exactly what TF's
+    ``fused_batch_norm`` (and torch) do.  flax's biased running variance
+    drifted ~1% from the reference over a training run
+    (``scripts/train_parity.py`` measured it), which bleeds into inference.
+
+    Variable names/collections match flax BatchNorm (``batch_stats``
+    ``mean``/``var``, param ``bias``) so checkpoints and the TF-parity name
+    mapping are unchanged.
+    """
+    momentum: float = 0.95
+    epsilon: float = 1e-3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        features = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for axis in reduce_axes:
+                    n *= x.shape[axis]
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * (var * bessel)
+
+        dtype = self.dtype or x.dtype
+        y = (x - mean.astype(dtype)) * jax.lax.rsqrt(
+            var.astype(dtype) + jnp.asarray(self.epsilon, dtype))
+        return y + bias.astype(dtype)
+
+
 class SlimConv(nn.Module):
     """tf-slim conv2d equivalent: conv -> [batch_norm] -> activation."""
     features: int
@@ -40,8 +90,10 @@ class SlimConv(nn.Module):
                     padding=self.padding, use_bias=not self.use_batch_norm,
                     kernel_init=self.kernel_init, dtype=self.dtype)(x)
         if self.use_batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                             epsilon=1e-3, use_scale=False, dtype=self.dtype)(x)
+            # name pinned so checkpoints/TF-parity mapping keep their paths
+            x = SlimBatchNorm(momentum=self.bn_momentum, epsilon=1e-3,
+                              dtype=self.dtype, name="BatchNorm_0")(
+                x, use_running_average=not train)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -61,8 +113,9 @@ class SlimDense(nn.Module):
         x = nn.Dense(self.features, use_bias=not self.use_batch_norm,
                      kernel_init=self.kernel_init, dtype=self.dtype)(x)
         if self.use_batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                             epsilon=1e-3, use_scale=False, dtype=self.dtype)(x)
+            x = SlimBatchNorm(momentum=self.bn_momentum, epsilon=1e-3,
+                              dtype=self.dtype, name="BatchNorm_0")(
+                x, use_running_average=not train)
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -113,6 +113,12 @@ def batch_norm(inputs, is_training=True, decay=0.999, epsilon=0.001,
                 batch_mean, batch_var = tf.nn.moments(inputs, axes=[0])
                 out = tf.nn.batch_normalization(inputs, batch_mean, batch_var,
                                                 beta, gamma, epsilon)
+                # slim routes 2-D inputs through fused_batch_norm (reshaped
+                # to 4-D), whose returned batch_var carries BESSEL's
+                # correction for the moving update — replicate that here so
+                # the dense-layer moving variance matches real slim
+                n = int(inputs.get_shape()[0])
+                batch_var = batch_var * (n / max(n - 1, 1))
             one_minus = 1.0 - decay
             v1.add_to_collection(v1.GraphKeys.UPDATE_OPS, v1.assign_add(
                 moving_mean, (batch_mean - moving_mean) * one_minus))

@@ -17,15 +17,17 @@ from hypelcnn_tpu.models.layers import SlimConv
 
 
 class TestBatchNormSemantics:
-    def _flax_bn_forward(self, x, momentum=0.95):
+    def _bn_forward(self, x, momentum=0.95):
         import flax.linen as nn
+
+        from hypelcnn_tpu.models.layers import SlimBatchNorm
 
         class BNOnly(nn.Module):
             @nn.compact
             def __call__(self, v, train=True):
-                return nn.BatchNorm(use_running_average=not train,
-                                    momentum=momentum, epsilon=1e-3,
-                                    use_scale=False)(v)
+                return SlimBatchNorm(momentum=momentum, epsilon=1e-3,
+                                     name="BatchNorm_0")(
+                    v, use_running_average=not train)
 
         m = BNOnly()
         variables = m.init(jax.random.key(0), x, train=True)
@@ -35,7 +37,7 @@ class TestBatchNormSemantics:
     def test_train_output_matches_torch(self):
         rng = np.random.default_rng(0)
         x = rng.normal(2.0, 3.0, size=(16, 3, 3, 5)).astype(np.float32)
-        out, stats = self._flax_bn_forward(jnp.asarray(x))
+        out, stats = self._bn_forward(jnp.asarray(x))
 
         tbn = torch.nn.BatchNorm2d(5, eps=1e-3, affine=False)
         tbn.train()
@@ -47,11 +49,29 @@ class TestBatchNormSemantics:
         # flax momentum == tf-slim decay: ema' = decay*ema + (1-decay)*batch
         rng = np.random.default_rng(1)
         x = rng.normal(5.0, 2.0, size=(64, 1, 1, 4)).astype(np.float32)
-        _, stats = self._flax_bn_forward(jnp.asarray(x), momentum=0.9)
+        _, stats = self._bn_forward(jnp.asarray(x), momentum=0.9)
         batch_mean = x.reshape(-1, 4).mean(axis=0)
         expected_mean = 0.9 * 0.0 + 0.1 * batch_mean
         np.testing.assert_allclose(np.asarray(stats["BatchNorm_0"]["mean"]),
                                    expected_mean, rtol=1e-5)
+
+    def test_running_variance_is_bessel_corrected_like_tf_and_torch(self):
+        """TF's fused_batch_norm (and torch) feed the EMA the BESSEL-
+        corrected batch variance while normalizing with the biased one —
+        flax's BatchNorm does not, which drifted running stats ~1% from the
+        reference over a run (scripts/train_parity.py measured it)."""
+        rng = np.random.default_rng(2)
+        x = rng.normal(1.0, 2.0, size=(16, 3, 3, 5)).astype(np.float32)
+        _, stats = self._bn_forward(jnp.asarray(x), momentum=0.9)
+
+        tbn = torch.nn.BatchNorm2d(5, eps=1e-3, affine=False, momentum=0.1)
+        tbn.train()
+        tbn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(np.asarray(stats["BatchNorm_0"]["var"]),
+                                   tbn.running_var.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats["BatchNorm_0"]["mean"]),
+                                   tbn.running_mean.numpy(), rtol=1e-4,
+                                   atol=1e-6)
 
 
 class TestSlimConvOrdering:
