@@ -56,3 +56,18 @@ def test_gan_stack_matches_reference_graph():
     assert {c["check"] for c in report["checks"]} == {
         "generator_full", "generator_encoder", "discriminator",
         "feature_discriminator"}
+
+
+def test_training_trajectory_tracks_reference():
+    """25 identical steps from one shared init: loss trajectories must track
+    (measured 2.7e-5 relative; budget 2%). Covers optimizer, loss
+    composition, and BN running-stat semantics end-to-end."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_parity.py"),
+         "--json"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["ok"], report
+    assert report["max_loss_rel_diff"] < 0.02
