@@ -72,11 +72,17 @@ class CAPModule(nn.Module):
         dcc = self.class_count
         iter_routing = p["iter_routing"]
 
+        # reference quirk PRESERVED: CAP's conv2d calls pass normalizer_fn=
+        # batch_norm with NO is_training (`nnmodel/CAPModel.py:53-65`), and
+        # slim.batch_norm's is_training literally defaults to True — so CAP
+        # normalizes with BATCH statistics even at inference/eval time
         net = SlimConv(p["feature_count"], p["conv_layer_kernel_size"], name="Conv1_layer",
-                       padding="VALID", use_batch_norm=True, bn_momentum=0.999)(x, train=train)
+                       padding="VALID", use_batch_norm=True, bn_momentum=0.999,
+                       always_batch_stats=True)(x, train=train)
         net = SlimConv(p["primary_capsule_count"] * pco, p["primary_caps_kernel_size"],
                        name="PrimaryCaps_layer", padding="VALID",
-                       use_batch_norm=True, bn_momentum=0.999)(net, train=train)
+                       use_batch_norm=True, bn_momentum=0.999,
+                       always_batch_stats=True)(net, train=train)
 
         data_size = (net.shape[1] * net.shape[2] * net.shape[3]) // pco
         u = net.reshape(net.shape[0], data_size, pco)

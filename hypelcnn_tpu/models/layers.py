@@ -56,7 +56,11 @@ class SlimBatchNorm(nn.Module):
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=reduce_axes)
             var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
-            if not self.is_initializing():
+            # EMA update only when the collection is mutable: CAP's preserved
+            # always-batch-stats quirk normalizes with batch statistics even
+            # during (immutable) evaluation applies
+            if not self.is_initializing() and \
+                    self.is_mutable_collection("batch_stats"):
                 n = 1
                 for axis in reduce_axes:
                     n *= x.shape[axis]
@@ -82,6 +86,10 @@ class SlimConv(nn.Module):
     stride: int = 1
     kernel_init: Callable = xavier
     dtype: Optional[jnp.dtype] = None
+    # slim.batch_norm's is_training defaults to the literal True; a call
+    # site that never threads is_training (CAP, `nnmodel/CAPModel.py:53-65`)
+    # therefore normalizes with BATCH statistics even at inference
+    always_batch_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -93,7 +101,7 @@ class SlimConv(nn.Module):
             # name pinned so checkpoints/TF-parity mapping keep their paths
             x = SlimBatchNorm(momentum=self.bn_momentum, epsilon=1e-3,
                               dtype=self.dtype, name="BatchNorm_0")(
-                x, use_running_average=not train)
+                x, use_running_average=not train and not self.always_batch_stats)
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -274,6 +274,99 @@ def gan_parity(band_size: int, batch: int, patch_count: int,
     return checks
 
 
+def cap_parity(batch: int, bands: int, classes: int, tolerance: float):
+    """CAP forward parity: the reference's per-capsule 1x1 convs + loopy
+    routing (`nnmodel/CAPModel.py:30-120`) vs the rebuild's fused einsums.
+    Exercises the preserved always-batch-stats BN quirk (reference BN never
+    threads is_training; slim's default True normalizes with batch stats
+    even at inference)."""
+    from measure_tf_reference import install_dependency_shims
+
+    install_dependency_shims()
+    import tensorflow as tf
+
+    v1 = tf.compat.v1
+    v1.disable_v2_behavior()
+    v1.disable_eager_execution()
+
+    from common.common_nn_ops import ModelInputParams
+    from nnmodel.CAPModel import CAPModel as RefModel
+
+    algorithm_params = {
+        "iter_routing": 3, "conv_layer_kernel_size": 1,
+        "primary_caps_kernel_size": 1, "feature_count": 16,
+        "primary_capsule_count": 4, "digit_capsule_output_space": 8,
+        "lrelu_alpha": 0.18, "enable_decoding": True, "batch_size": batch,
+        "optimizer": "AdamOptimizer", "learning_rate": 1e-4,
+        "learning_rate_decay_factor": 0.96, "learning_rate_decay_step": 350,
+    }
+    k = 3  # neighborhood 1
+    rng = np.random.default_rng(0)
+    x_batch = rng.uniform(0, 1, (batch, k, k, bands)).astype(np.float32)
+
+    ref_logits, values = _tf_session_values_and_output(
+        lambda x: RefModel().create_tensor_graph(
+            ModelInputParams(x=x, y=None, device_id="/cpu:0",
+                             is_training=False),
+            classes, algorithm_params).y_conv,
+        x_batch, rng)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from hypelcnn_tpu.models import CAPModel
+
+    module = CAPModel().create_module(classes, algorithm_params)
+    variables = module.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            jnp.asarray(x_batch), train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return values[name]
+
+    for scope in ("Conv1_layer", "PrimaryCaps_layer"):
+        params[scope]["Conv_0"]["kernel"] = take(f"{scope}/weights:0")
+        params[scope]["BatchNorm_0"]["bias"] = take(f"{scope}/BatchNorm/beta:0")
+        stats[scope]["BatchNorm_0"]["mean"] = take(
+            f"{scope}/BatchNorm/moving_mean:0")
+        stats[scope]["BatchNorm_0"]["var"] = take(
+            f"{scope}/BatchNorm/moving_variance:0")
+    data_size = params["digitcaps_w"].shape[0]
+    params["digitcaps_w"] = np.stack(
+        [take(f"DigitCaps_layer/DigitCaps_layer_w_{i}/weights:0")[0, 0]
+         for i in range(data_size)])
+    params["digitcaps_b"] = np.stack(
+        [take(f"DigitCaps_layer/DigitCaps_layer_w_{i}/biases:0")
+         for i in range(data_size)])
+
+    filled = jax.tree_util.tree_map(jnp.asarray,
+                                    {"params": params, "batch_stats": stats})
+    out = module.apply(filled, jnp.asarray(x_batch), train=False)
+    our_logits = np.asarray(out.y_conv)
+
+    max_abs = float(np.max(np.abs(ref_logits - our_logits)))
+    scale = float(np.abs(ref_logits).mean())
+    normalized = max_abs / max(scale, 1e-6)
+    unused = set(values) - used
+    # the reference's moving stats exist but are never read (the preserved
+    # always-batch-stats quirk) — they are legitimately unmapped... except
+    # we DID map them above; decoder vars are absent at is_training=False
+    return {"model": "CAPModel",
+            "max_abs_logit_delta": max_abs, "logit_scale": scale,
+            "scale_normalized_delta": normalized,
+            "tf_variables_mapped": len(values) - len(unused),
+            "tf_variables_unmapped": sorted(unused),
+            "ok": bool(normalized < tolerance and not unused)}
+
+
 MODEL_SETUPS = {
     # model -> (neighborhood, extra algorithm_params)
     "HYPELCNNModel": (1, {
@@ -288,7 +381,7 @@ MODEL_SETUPS = {
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="HYPELCNNModel",
-                        choices=sorted(MODEL_SETUPS))
+                        choices=sorted(MODEL_SETUPS) + ["CAPModel"])
     parser.add_argument("--bands", type=int, default=9,
                         help="total input bands incl. the LiDAR band")
     parser.add_argument("--classes", type=int, default=5)
@@ -308,6 +401,12 @@ def main(argv=None) -> int:
                             tolerance=args.tolerance)
         report = {"model": "gan_stack", "checks": checks,
                   "ok": all(c["ok"] for c in checks)}
+        print(json.dumps(report, indent=None if args.json else 2))
+        return 0 if report["ok"] else 1
+
+    if args.model == "CAPModel":
+        report = cap_parity(batch=args.batch, bands=args.bands,
+                            classes=args.classes, tolerance=args.tolerance)
         print(json.dumps(report, indent=None if args.json else 2))
         return 0 if report["ok"] else 1
 

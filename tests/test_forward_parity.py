@@ -10,10 +10,10 @@ optimizer/data parity (covered by the optimizer/splitter/augmentation
 tests).
 
 Measured deltas (scale-normalized): HYPELCNN 5.4e-7, CONCNN 2.4e-6,
-DUALCNN 8.0e-7 — pure f32 reduction-order noise.  CAP is excluded: its
-reference graph builds data_size per-capsule convs in a Python loop with
-batch-size-dependent reshapes; the rebuild's fused-einsum routing is
-covered by the routing/init tests in test_models.py instead.
+DUALCNN 8.0e-7, CAP 2.4e-6 — pure f32 reduction-order noise.  The CAP
+check stacks the reference's data_size per-capsule conv weights into the
+rebuild's fused einsum parameter and exercises the preserved
+always-batch-stats BN quirk.
 """
 
 import json
@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize("model", ["HYPELCNNModel", "CONCNNModel",
-                                   "DUALCNNModel"])
+                                   "DUALCNNModel", "CAPModel"])
 def test_forward_matches_reference_graph(model):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
