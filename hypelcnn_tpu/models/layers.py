@@ -9,6 +9,7 @@ reproduce that ordering so the reference's modelconfig hyperparameters
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Optional, Sequence, Union
 
 import flax.linen as nn
@@ -61,9 +62,7 @@ class SlimBatchNorm(nn.Module):
             # during (immutable) evaluation applies
             if not self.is_initializing() and \
                     self.is_mutable_collection("batch_stats"):
-                n = 1
-                for axis in reduce_axes:
-                    n *= x.shape[axis]
+                n = math.prod(x.shape[axis] for axis in reduce_axes)
                 bessel = n / max(n - 1, 1)
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean

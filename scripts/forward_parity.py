@@ -56,26 +56,12 @@ def build_reference_logits(model_name, x_batch, algorithm_params, class_count, r
                        model_name)
     from common.common_nn_ops import ModelInputParams
 
-    graph = v1.Graph()
-    with graph.as_default():
-        x = v1.placeholder(tf.float32, x_batch.shape, name="x")
-        params = ModelInputParams(x=x, y=None, device_id="/cpu:0",
-                                  is_training=False)
-        out = RefModel().create_tensor_graph(params, class_count, algorithm_params)
-        variables = v1.global_variables()
-        assign_ops = []
-        values = {}
-        for var in variables:
-            shape = tuple(var.get_shape().as_list())
-            if "moving_variance" in var.name:
-                val = rng.uniform(0.5, 2.0, shape).astype(np.float32)
-            else:
-                val = rng.normal(0.0, 0.2, shape).astype(np.float32)
-            values[var.name] = val
-            assign_ops.append(var.assign(val))
-        with v1.Session(graph=graph) as sess:
-            sess.run(assign_ops)
-            logits = sess.run(out.y_conv, feed_dict={x: x_batch})
+    logits, values = _tf_session_values_and_output(
+        lambda x: RefModel().create_tensor_graph(
+            ModelInputParams(x=x, y=None, device_id="/cpu:0",
+                             is_training=False),
+            class_count, algorithm_params).y_conv,
+        x_batch, rng)
     return logits, values
 
 
@@ -138,7 +124,8 @@ def build_rebuild_logits(model_name, x_batch, algorithm_params, class_count,
 
 def _tf_session_values_and_output(build, x_batch, rng, preset=None):
     """Build a TF graph via ``build(x)``; assign ``preset`` values by name
-    when given (else randomize), run the output."""
+    when given (else randomize — moving variances stay positive, they sit
+    under an rsqrt in inference-mode BN), run the output."""
     import tensorflow as tf
 
     v1 = tf.compat.v1
@@ -151,6 +138,8 @@ def _tf_session_values_and_output(build, x_batch, rng, preset=None):
             shape = tuple(var.get_shape().as_list())
             if preset is not None:
                 val = preset[var.name]
+            elif "moving_variance" in var.name:
+                val = rng.uniform(0.5, 2.0, shape).astype(np.float32)
             else:
                 val = rng.normal(0.0, 0.2, shape).astype(np.float32)
             values[var.name] = val
@@ -191,7 +180,7 @@ def gan_parity(band_size: int, batch: int, patch_count: int,
     x_batch = rng.uniform(0, 1, (batch, 1, 1, band_size)).astype(np.float32)
     checks = []
 
-    def run_flax(module, tf_values, name_map, *apply_args, **apply_kwargs):
+    def run_flax(module, tf_values, name_map, **apply_kwargs):
         variables = module.init(jax.random.key(0), jnp.asarray(x_batch),
                                 **apply_kwargs)
         used = set()
@@ -223,8 +212,7 @@ def gan_parity(band_size: int, batch: int, patch_count: int,
     full_out, gen_values = _tf_session_values_and_output(
         lambda x: ref.shadowdata_generator_model(x, False, False), x_batch, rng)
     gen = ShadowGenerator(band_size=band_size)
-    ours_full, _ = run_flax(gen, gen_values, flax_path_to_tf_name)
-    full_unmapped = set()  # full pass uses every net1..net7 variable
+    ours_full, full_unmapped = run_flax(gen, gen_values, flax_path_to_tf_name)
     record("generator_full", full_out, ours_full, full_unmapped)
 
     enc_out, _ = _tf_session_values_and_output(
@@ -232,6 +220,7 @@ def gan_parity(band_size: int, batch: int, patch_count: int,
         rng, preset=gen_values)  # inject the full graph's net1..net4 values
     ours_enc, _ = run_flax(gen, gen_values, flax_path_to_tf_name,
                            encoder_only=True)
+    # net5..net7 are deliberately untouched by the encoder path
     record("generator_encoder", enc_out, ours_enc, set())
 
     # ---- discriminator (3 dense layers, unscoped slim names) ----
@@ -356,9 +345,6 @@ def cap_parity(batch: int, bands: int, classes: int, tolerance: float):
     scale = float(np.abs(ref_logits).mean())
     normalized = max_abs / max(scale, 1e-6)
     unused = set(values) - used
-    # the reference's moving stats exist but are never read (the preserved
-    # always-batch-stats quirk) — they are legitimately unmapped... except
-    # we DID map them above; decoder vars are absent at is_training=False
     return {"model": "CAPModel",
             "max_abs_logit_delta": max_abs, "logit_scale": scale,
             "scale_normalized_delta": normalized,
