@@ -158,6 +158,7 @@ class ClassificationTrainer:
         aug_info = self.augmentation_info
         class_count = self.class_count
         source = self.sources["training"]
+        use_remat = bool(self.algorithm_params.get("remat", False))
 
         def one_step(carry, inp):
             state, arrays, coords_table, labels_table, key_base = carry
@@ -182,6 +183,11 @@ class ClassificationTrainer:
                 new_stats = updates.get("batch_stats", state.batch_stats) if updates else state.batch_stats
                 return loss, new_stats
 
+            if use_remat:
+                # rematerialize activations in the backward pass: trades
+                # FLOPs for HBM so very large batches avoid activation
+                # spills (opt-in via algorithm_params {"remat": true})
+                loss_fn = jax.checkpoint(loss_fn)
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)

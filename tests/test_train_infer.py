@@ -79,6 +79,28 @@ class TestTraining:
         assert np.isfinite(result.loss)
         assert result.test_accuracy > 0.5  # separable classes learn fast
 
+    def test_remat_training_matches_plain(self, synthetic_loader):
+        """algorithm_params {'remat': true} rematerializes activations in
+        the backward pass — numerically identical, just a FLOPs/HBM trade
+        for very large batches."""
+        results = []
+        for remat in (False, True):
+            np.random.seed(0)
+            params = dict(PARAMS, remat=remat)
+            importer = get_importer_from_name("GeneratorImporter")
+            data = importer.read_data_set(
+                "SyntheticDataLoader",
+                "synthetic://?h=48&w=64&bands=12&classes=5&seed=3",
+                train_ratio=0.5, test_ratio=0.1, neighborhood=1)
+            trainer = ClassificationTrainer(
+                model=CONCNNModel(), class_count=data.class_count,
+                algorithm_params=params, scene=data.scene,
+                sample_set=data.sample_set, sources=data.sources,
+                data_shape=data.data_shape, mesh=create_mesh())
+            results.append(trainer.fit(num_steps=8, batch_size=8,
+                                       log_every=8).loss)
+        np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
     def test_in_memory_importer_matches_scene_gather(self, synthetic_loader):
         np.random.seed(0)
         importer = get_importer_from_name("InMemoryImporter")
