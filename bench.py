@@ -7,7 +7,7 @@ Workload: the reference's documented flagship — HYPELCNN (filter_count=480,
 scene (349x1905, 144-band CASI + 1-band LiDAR, 15 classes — dims per
 `loader/GRSS2013DataLoader.py:94-95`), with the full training pipeline
 on-device: window gather + rotation/reflection augmentation +
-forward/backward + Adam, batch 2048 bfloat16, scan-chunked (50 steps per
+forward/backward + Adam, batch 4096 bfloat16, scan-chunked (200 steps per
 dispatch), median of 10 measurement windows (the shared chip swings 25x
 between windows; only the median is meaningful).
 
@@ -77,6 +77,15 @@ def _flops_of(compiled) -> float:
     return float(cost.get("flops", 0.0)) if cost else 0.0
 
 
+def _honor_platform_request() -> None:
+    # the ambient TPU plugin wins even over JAX_PLATFORMS (CLAUDE.md);
+    # --smoke's documented CPU pass needs the authoritative config switch
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main() -> None:
     import argparse
 
@@ -91,6 +100,7 @@ def main() -> None:
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a CPU correctness pass; NOT a benchmark")
     args = parser.parse_args()
+    _honor_platform_request()
 
     import jax
     import jax.numpy as jnp

@@ -115,22 +115,31 @@ def main(argv=None):
         "GAN_BENCH.json"))
     args = p.parse_args(argv)
 
+    gan_types = [t.strip() for t in args.gan_types.split(",")]
+    known = set(get_trainer_dict(CONFIG, args.bands, max_steps=1))
+    unknown = [t for t in gan_types if t not in known]
+    if unknown:  # validate BEFORE spending minutes of chip time per type
+        raise SystemExit(f"unknown gan_types {unknown}; known: {sorted(known)}")
+
     dev = jax.devices()[0]
     out = {"config": {"bands": args.bands, "batch": args.batch,
                       "chunk": args.chunk, "windows": args.windows,
                       "device": dev.device_kind, "platform": dev.platform},
            "results": {}}
-    for gan_type in args.gan_types.split(","):
-        gan_type = gan_type.strip()
+
+    def flush():
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+            f.write("\n")
+
+    for gan_type in gan_types:
         print(f"benching {gan_type} ...", flush=True)
         res = bench_one(gan_type, args.bands, args.batch, args.chunk,
                         args.windows)
         out["results"][gan_type] = res
+        flush()  # each completed measurement survives a later failure
         print(f"  {gan_type}: {res['steps_per_sec']} steps/s "
               f"({res['ms_per_step']} ms/step)", flush=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
-        f.write("\n")
     print(f"wrote {args.out}")
 
 
