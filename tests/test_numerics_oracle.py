@@ -73,6 +73,22 @@ class TestBatchNormSemantics:
                                    tbn.running_mean.numpy(), rtol=1e-4,
                                    atol=1e-6)
 
+    def test_dense_running_stats_match_torch_batchnorm1d(self):
+        """The dense (2-D input) path must carry the same Bessel semantics
+        (real slim routes 2-D inputs through the fused kernel)."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(0.5, 1.5, size=(16, 6)).astype(np.float32)
+        _, stats = self._bn_forward(jnp.asarray(x), momentum=0.9)
+
+        tbn = torch.nn.BatchNorm1d(6, eps=1e-3, affine=False, momentum=0.1)
+        tbn.train()
+        tbn(torch.from_numpy(x))
+        np.testing.assert_allclose(np.asarray(stats["BatchNorm_0"]["var"]),
+                                   tbn.running_var.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(stats["BatchNorm_0"]["mean"]),
+                                   tbn.running_mean.numpy(), rtol=1e-4,
+                                   atol=1e-6)
+
 
 class TestSlimConvOrdering:
     def test_bn_applied_before_activation(self):
