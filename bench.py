@@ -99,6 +99,9 @@ def main() -> None:
                              "log-every-200 training cadence")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a CPU correctness pass; NOT a benchmark")
+    parser.add_argument("--fused", type=int, default=None, choices=(0, 1),
+                        help="override fuse_level_convs (A/B lever; default: "
+                             "the model's default)")
     args = parser.parse_args()
     _honor_platform_request()
 
@@ -129,6 +132,8 @@ def main() -> None:
     batch_size = 64 if args.smoke else 4096
     algorithm_params = {**model.default_params(), "batch_size": batch_size,
                         "compute_dtype": "bfloat16"}
+    if args.fused is not None:
+        algorithm_params["fuse_level_convs"] = bool(args.fused)
     if args.smoke:
         algorithm_params["filter_count"] = 32
 

@@ -58,7 +58,16 @@ def pool_apply(pool: PoolState, gen_data: jax.Array, gen_inputs: jax.Array,
                key: jax.Array):
     """tfgan tensor_pool semantics, vectorized: while filling, pass through
     and store; once full, each element is swapped with a random pool entry
-    with probability 0.5."""
+    with probability 0.5.
+
+    DELIBERATE DEVIATION from the reference's sequential per-image pool
+    (tfgan ``tensor_pool``): slots are drawn WITHOUT replacement for
+    b <= pool_size, so two batch elements can never hit the same slot.
+    Sequential semantics allow collisions (later writes win and a generated
+    sample is silently dropped by the duplicate-index scatter); the
+    distinct-slot draw keeps every sample while only slightly changing
+    pool-history dynamics.  Documented like the other preserved-quirk sites
+    so parity audits treat it as intentional."""
     p = pool.buffer.shape[0]
     b = gen_data.shape[0]
     k1, k2 = jax.random.split(key)

@@ -101,6 +101,12 @@ class DCLCycleGANTrainer(DCLGANTrainer):
         self.cycle_weight = config.get("cycle_consistency_loss_weight", 10.0)
 
     def init_state(self, key: jax.Array) -> GANState:
+        # NOTE on resume: GAN checkpoints persist PARAMS ONLY
+        # (`apps/gan_train_for_shadow.py` save_params_pytree), so adding
+        # opt_states["cycle_gen"] here cannot break restoring an older
+        # checkpoint.  If full-state GAN checkpointing is ever added, its
+        # restore must reinitialize a missing "cycle_gen" from
+        # ``self.txs["gen"].init`` for fix-enabled runs.
         state = super().init_state(key)
         if self.apply_cycle_loss_fix:
             # the extra cycle update gets its OWN optimizer state: reusing

@@ -15,6 +15,7 @@ parallelism": each chip sweeps a horizontal band of the scene.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import jax
@@ -33,7 +34,7 @@ INVALID_TARGET_VALUE = 255  # reference common/common_nn_ops.py:20
 # dict attributes are unhashable); the cache keeps a strong reference to
 # the keyed module so its id cannot be recycled while the entry lives.
 
-_PROGRAM_CACHE: Dict = {}
+_PROGRAM_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _module_cached(builder):
@@ -42,11 +43,15 @@ def _module_cached(builder):
         key = (builder.__name__, id(module), key_rest)
         entry = _PROGRAM_CACHE.get(key)
         if entry is not None and entry[0] is module:
+            # LRU: refresh on hit so a long-lived server cycling module
+            # instances evicts cold entries, not the hot sweep (~20 s
+            # remote recompile to re-pay)
+            _PROGRAM_CACHE.move_to_end(key)
             return entry[1]
         while len(_PROGRAM_CACHE) > 64:
-            # FIFO-evict one entry: a full clear() would drop every hot
+            # evict least-recently-used: a full clear() would drop every hot
             # compiled sweep at once and re-pay ~20 s remote recompile each
-            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+            _PROGRAM_CACHE.popitem(last=False)
         fn = builder(module, *key_rest)
         _PROGRAM_CACHE[key] = (module, fn)
         return fn

@@ -53,7 +53,16 @@ class DUALCNNModule(nn.Module):
                         dtype=jnp.dtype(p.get("compute_dtype", "float32")))
 
     def _level(self, x: jax.Array, features: int, name: str, train: bool) -> jax.Array:
-        from hypelcnn_tpu.models.layers import multi_scale_level
+        from hypelcnn_tpu.models.layers import FusedMultiScaleLevel, multi_scale_level
+        p = self.params_dict
+        if p.get("fuse_level_convs", False):
+            from hypelcnn_tpu.models.layers import xavier
+            return FusedMultiScaleLevel(
+                features, name=f"{name}_fused",
+                activation=lambda v: leaky_relu(v, p["lrelu_alpha"]),
+                use_batch_norm=False, kernel_init=xavier,
+                dtype=jnp.dtype(p.get("compute_dtype", "float32")))(
+                    x, train=train)
         return multi_scale_level(
             x, features,
             lambda f, k, conv_name, _n=name: self._conv(f, k, f"{_n}_{conv_name}"),

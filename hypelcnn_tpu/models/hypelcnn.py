@@ -103,7 +103,7 @@ class HYPELCNNModule(nn.Module):
         p = self.params_dict
         use_residual = p["use_residual"]
         level_filters = x.shape[-1] // 2
-        from hypelcnn_tpu.models.layers import multi_scale_level
+        from hypelcnn_tpu.models.layers import FusedMultiScaleLevel, multi_scale_level
         for index in range(p["spatial_hierarchy_level"]):
             feat = level_filters // (2 ** index)
             if feat == 0:
@@ -111,10 +111,22 @@ class HYPELCNNModule(nn.Module):
                     f"filter_count={p['filter_count']} too small for "
                     f"spatial_hierarchy_level={p['spatial_hierarchy_level']} "
                     f"(level {index} would have 0 filters)")
-            nxt = multi_scale_level(
-                x, feat,
-                lambda f, k, name, _i=index: self._conv(f, k, f"connector_{_i}_{name}"),
-                train=train)
+            if p.get("fuse_level_convs", False):
+                # one zero-padded k_max conv == the whole parallel-branch
+                # level (see FusedMultiScaleLevel); numerically identical,
+                # fewer layout copies on TPU
+                nxt = FusedMultiScaleLevel(
+                    feat, name=f"connector_{index}_fused",
+                    activation=lambda v: leaky_relu(v, p["lrelu_alpha"]),
+                    use_batch_norm=True, bn_momentum=p["bn_decay"],
+                    kernel_init=he_truncated,
+                    dtype=jnp.dtype(p.get("compute_dtype", "float32")))(
+                        x, train=train)
+            else:
+                nxt = multi_scale_level(
+                    x, feat,
+                    lambda f, k, name, _i=index: self._conv(f, k, f"connector_{_i}_{name}"),
+                    train=train)
             if use_residual:
                 nxt = nxt + scale_in_to_out(x, nxt, axis=-1)
             nxt_conv = self._conv(nxt.shape[-1], 1, f"connector_conv_{index}")(nxt, train=train)

@@ -24,6 +24,7 @@ all-reduce over ICI.  Single chip is the same code with a 1x1 mesh.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 import os
@@ -273,8 +274,12 @@ class ClassificationTrainer:
             return compute_metrics(np.zeros((self.class_count, self.class_count)))
         # targets are immutable after construction: build the padded device
         # tables ONCE per (split, batch) and reuse — rebuilding re-sent
-        # megabytes over the tunneled device link on every eval cadence
-        cache_key = (split, batch_size)
+        # megabytes over the tunneled device link on every eval cadence.
+        # The key carries a content fingerprint so a replaced sample_set
+        # cannot silently serve stale coords/labels
+        tbytes = np.ascontiguousarray(targets).tobytes()
+        cache_key = (split, batch_size, targets.shape,
+                     hashlib.blake2b(tbytes, digest_size=8).hexdigest())
         if cache_key not in self._eval_tables:
             # batch must divide over the data axis; tiny splits shrink to one batch
             data_size = self.mesh.shape[DATA_AXIS]
@@ -345,7 +350,22 @@ class ClassificationTrainer:
         if self.save_checkpoint_steps:
             cadences.append(self.save_checkpoint_steps)
         chunk = max(1, math.gcd(*cadences)) if len(cadences) > 1 else cadences[0]
+        # guard the degenerate gcd (e.g. a prime validation cadence collapses
+        # it to 1, which through the tunnel is the 0.25-5 s per-step dispatch
+        # overhead the scan chunking exists to avoid).  `crossed` fires hooks
+        # on the first chunk boundary AFTER their cadence point, so flooring
+        # only makes hooks up to chunk-1 steps late — never skipped.  An
+        # explicit small cadence (someone logging every step) is respected
+        # via min(active cadences).
+        floor = min(c for c in cadences if c)
+        if chunk < min(floor, 50):
+            late = min(floor, 50)
+            print(f"[chunk-guard] cadences {cadences} share gcd {chunk}; "
+                  f"using scan chunk {late} (hooks fire on the next boundary, "
+                  f"<= {late - 1} steps late)")
+            chunk = late
         chunk = min(chunk, num_steps)
+        self._last_chunk = chunk
 
         def crossed(cadence: int, start: int, end: int) -> bool:
             return cadence and (end // cadence) > (start // cadence)

@@ -69,6 +69,11 @@ class Trial:
 
     def suggest_float(self, name: str, low: float, high: float,
                       step: Optional[float] = None, log: bool = False) -> float:
+        if log and (low <= 0 or step is not None):
+            # optuna's contract (same as suggest_int): positive domain, no step
+            raise ValueError(
+                f"suggest_float({name!r}): log=True requires low > 0 and "
+                f"step=None (got low={low}, step={step})")
         if self.study._n_completed() >= N_STARTUP:
             guided = self._guided_numeric(name, low, high, log)
         else:
@@ -91,6 +96,12 @@ class Trial:
         """optuna's suggest_int semantics: uniform over the valid int grid
         {low, low+step, ...} (not a rounded float draw, which would halve the
         endpoint probabilities), log-uniform when ``log``."""
+        if log and (low <= 0 or step != 1):
+            # optuna's contract: log-int draws require a positive domain and
+            # reject step != 1 (a snapped log draw would be a linear grid)
+            raise ValueError(
+                f"suggest_int({name!r}): log=True requires low > 0 and "
+                f"step == 1 (got low={low}, step={step})")
         guided = self._guided_numeric(name, low, high, log) \
             if self.study._n_completed() >= N_STARTUP else None
         if guided is None:

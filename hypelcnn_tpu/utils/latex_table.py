@@ -50,23 +50,28 @@ def build_table(method_dirs: Dict[str, str],
     lines.append("Class & " + " & ".join(methods) + " \\\\")
     lines.append("\\hline")
 
-    # per-class rows
+    # per-class rows.  Bold semantics match the reference's
+    # `extract_bold_values` (`utilities/latex_table_from_conf_set.py:91-99`):
+    # ALL tied maxima are bolded, not just the first
     per_class_mean = {m: np.mean(stats[m].aa_array, axis=0) for m in methods}
     per_class_std = {m: np.std(stats[m].aa_array, axis=0) for m in methods}
     for ci in range(n_classes):
-        best = max(methods, key=lambda m: per_class_mean[m][ci])
-        cells = [_fmt(per_class_mean[m][ci], per_class_std[m][ci], m == best)
+        best = max(per_class_mean[m][ci] for m in methods)
+        cells = [_fmt(per_class_mean[m][ci], per_class_std[m][ci],
+                      per_class_mean[m][ci] == best)
                  for m in methods]
         lines.append(f"{class_names[ci]} & " + " & ".join(cells) + " \\\\")
 
     lines.append("\\hline")
-    # aggregate rows
+    # aggregate rows; kappa is ALSO x100 in reference cells
+    # (`latex_table_from_conf_set.py:203-205` applies PERCENTILE_COEFF)
     agg = {m: calculate_mean_std_metrics(stats[m].oa_array, stats[m].aa_array,
                                          stats[m].kappa_array) for m in methods}
     for label, mean_idx, std_idx, scale in (("OA", 0, 1, 100.0), ("AA", 2, 3, 100.0),
-                                            ("Kappa", 4, 5, 1.0)):
-        best = max(methods, key=lambda m: agg[m][mean_idx])
-        cells = [_fmt(agg[m][mean_idx], agg[m][std_idx], m == best, scale)
+                                            ("Kappa", 4, 5, 100.0)):
+        best = max(agg[m][mean_idx] for m in methods)
+        cells = [_fmt(agg[m][mean_idx], agg[m][std_idx],
+                      agg[m][mean_idx] == best, scale)
                  for m in methods]
         lines.append(f"{label} & " + " & ".join(cells) + " \\\\")
     lines.append("\\hline")

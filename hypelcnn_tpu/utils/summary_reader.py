@@ -49,6 +49,13 @@ def process_log_dir(log_dir: str, output_dir: str | None = None) -> None:
     output_dir = output_dir or log_dir
     copied = collect_confusions(log_dir, output_dir)
     print(f"Collected {len(copied)} confusion matrices into {output_dir}")
+    # reference TF event files in the same dir are scraped too (TF-free
+    # parser, utils/tb_events.py) so existing reference experiment logs
+    # migrate without tensorboard/tensorflow
+    if glob.glob(os.path.join(log_dir, "event*")):
+        from hypelcnn_tpu.utils.tb_events import extract_confusions
+        scraped = extract_confusions(log_dir, output_dir=output_dir)
+        print(f"Scraped {len(scraped)} confusion matrices from event files")
     history_path = os.path.join(log_dir, "history.jsonl")
     if os.path.exists(history_path):
         with open(history_path, "r", encoding="utf-8") as fid:

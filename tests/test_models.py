@@ -160,3 +160,59 @@ class TestOps:
         norm_sq = (9 + 16) / 2
         expected = norm_sq * np.array([3.0, 4.0]) / ((1 + norm_sq) * np.sqrt(norm_sq + 1e-9))
         np.testing.assert_allclose(v[0], expected, rtol=1e-6)
+
+
+class TestFusedLevels:
+    """FusedMultiScaleLevel == the parallel-branch level, weight-for-weight."""
+
+    def _equiv(self, model, x, algorithm_params):
+        from hypelcnn_tpu.models.layers import fuse_variables
+        labels = jax.nn.one_hot(jnp.zeros((x.shape[0],), jnp.int32), CLASSES)
+        unfused = model.create_module(CLASSES, {**model.default_params(),
+                                                **algorithm_params})
+        fused = model.create_module(CLASSES, {**model.default_params(),
+                                              **algorithm_params,
+                                              "fuse_level_convs": True})
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+        v_unfused = unfused.init(rngs, x, labels=labels, train=True)
+        v_fused = fuse_variables(v_unfused)
+        # structural check vs a fresh fused init
+        ref_shapes = jax.tree.map(jnp.shape, fused.init(rngs, x, labels=labels,
+                                                        train=True))
+        assert jax.tree.map(jnp.shape, v_fused) == ref_shapes
+
+        # training mode: logits + decoder + mutated batch stats all match
+        out_u, mut_u = unfused.apply(v_unfused, x, labels=labels, train=True,
+                                     rngs={"dropout": jax.random.key(2)},
+                                     mutable=["batch_stats"])
+        out_f, mut_f = fused.apply(v_fused, x, labels=labels, train=True,
+                                   rngs={"dropout": jax.random.key(2)},
+                                   mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out_u.y_conv),
+                                   np.asarray(out_f.y_conv),
+                                   rtol=2e-5, atol=2e-5)
+        if "batch_stats" in mut_u:
+            fused_mut = fuse_variables({"params": v_unfused["params"],
+                                        "batch_stats": mut_u["batch_stats"]})
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+                fused_mut["batch_stats"], dict(mut_f["batch_stats"]))
+            v_unfused = {"params": v_unfused["params"],
+                         "batch_stats": mut_u["batch_stats"]}
+            v_fused = fused_mut
+
+        # eval mode with accumulated running stats
+        out_u2 = unfused.apply(v_unfused, x, labels=labels, train=False)
+        out_f2 = fused.apply(v_fused, x, labels=labels, train=False)
+        np.testing.assert_allclose(np.asarray(out_u2.y_conv),
+                                   np.asarray(out_f2.y_conv),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_hypelcnn_fused_equivalence(self):
+        x = jax.random.uniform(jax.random.key(7), (4, 5, 5, 12))
+        self._equiv(HYPELCNNModel(), x, {"filter_count": 32})
+
+    def test_dualcnn_fused_equivalence(self):
+        x = jax.random.uniform(jax.random.key(8), (3, 5, 5, 13))
+        self._equiv(DUALCNNModel(), x, {"filter_count": 32})

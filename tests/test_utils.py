@@ -191,3 +191,28 @@ class TestSearch:
         value = objective(trial, {}, {}, func, opt_run_count=2, base_log_path="/tmp/x")
         assert value == 0.5
         assert len(calls) == 2 and calls[0] != calls[1]
+
+
+class TestSearchLogContract:
+    """optuna's log-draw domain contract (ADVICE r2)."""
+
+    def test_suggest_int_log_rejects_nonpositive_low_and_step(self):
+        from hypelcnn_tpu.tune.search import Study, Trial
+        study = Study("s", storage=None)
+        trial = Trial(study, 0)
+        with pytest.raises(ValueError):
+            trial.suggest_int("a", 0, 10, log=True)
+        with pytest.raises(ValueError):
+            trial.suggest_int("b", 1, 10, step=2, log=True)
+        assert 1 <= trial.suggest_int("c", 1, 10, log=True) <= 10
+
+    def test_suggest_float_log_rejects_nonpositive_low(self):
+        from hypelcnn_tpu.tune.search import Study, Trial
+        study = Study("s2", storage=None)
+        trial = Trial(study, 0)
+        with pytest.raises(ValueError):
+            trial.suggest_float("a", 0.0, 1.0, log=True)
+        with pytest.raises(ValueError):
+            trial.suggest_float("b", 1e-5, 1.0, step=0.1, log=True)
+        v = trial.suggest_float("c", 1e-5, 1.0, log=True)
+        assert 1e-5 <= v <= 1.0
