@@ -62,17 +62,28 @@ def build_shadow_creators(loader, scene, neighborhood: int,
     if checkpoints:
         from hypelcnn_tpu.gan.wrapper_registry import get_trainer_dict
         trainers = get_trainer_dict({}, band_count, max_steps)
+        from hypelcnn_tpu.utils.tf_checkpoint_import import is_tf_checkpoint
         for name, rel_path in checkpoints.items():
             path = os.path.join(loader.get_model_base_dir(), rel_path)
-            if not os.path.isdir(path):
-                continue
             trainer = trainers.get(name)
             if trainer is None:
                 continue
             try:
-                from hypelcnn_tpu.train.checkpoint import restore_params_pytree
                 template = trainer.init_state(jax.random.key(0)).params
-                params = restore_params_pytree(path, template)
+                if is_tf_checkpoint(path):
+                    # the loader-declared path IS a reference TF checkpoint
+                    # (`loader/GRSS2013DataLoader.py:26-34` model.ckpt-NNNN):
+                    # import the trained generator scopes directly
+                    from hypelcnn_tpu.utils.tf_checkpoint_import import (
+                        import_gan_generator_params)
+                    params = jax.tree_util.tree_map(
+                        jnp.asarray,
+                        import_gan_generator_params(name, template, path))
+                elif os.path.isdir(path):
+                    from hypelcnn_tpu.train.checkpoint import restore_params_pytree
+                    params = restore_params_pytree(path, template)
+                else:
+                    continue
                 creators[name] = create_gan_shadow_struct(trainer, params, band_count)
             except Exception as exc:  # pragma: no cover - corrupt/missing ckpt
                 print(f"shadow creator {name}: failed to restore {path}: {exc}")
