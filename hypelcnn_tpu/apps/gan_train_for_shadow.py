@@ -133,6 +133,20 @@ def run_session(params, base_log_path) -> List[float]:
 
     step_fn_built = trainer.build_train_step()
 
+    # data-parallel over the device mesh: batch sharded on the data axis,
+    # params replicated, XLA inserts the gradient all-reduce — the scaling
+    # path the reference's GAN runtime (`gan/gan_train_for_shadow.py:80-144`,
+    # single device) never had.  Constraint-based so the scan-chunked
+    # program stays a single dispatch.
+    mesh = None
+    if len(jax.devices()) > 1 and batch % len(jax.devices()) == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hypelcnn_tpu.parallel.mesh import DATA_AXIS, create_mesh
+        mesh = create_mesh()
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        print(f"GAN training data-parallel over {len(jax.devices())} devices")
+
     def one_step(carry, inp):
         # pair arrays ride the scan carry: a closure would bake them into
         # the compiled program as multi-hundred-MB constants at real scale
@@ -149,6 +163,9 @@ def run_session(params, base_log_path) -> List[float]:
             x = jnp.where(u1 < reg_rate, y * ratio_dev, x)
             u2 = jax.random.uniform(k_reg2, (batch, 1, 1, 1), minval=0.01, maxval=0.99)
             y = jnp.where(u2 < reg_rate, x / ratio_dev, y)
+        if mesh is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            y = jax.lax.with_sharding_constraint(y, batch_sharding)
         new_state, metrics = step_fn_built(state, x, y, k_step)
         return (new_state, normal_d, shadow_d), metrics["generator_loss"]
 

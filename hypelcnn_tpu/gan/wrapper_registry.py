@@ -31,9 +31,9 @@ def get_sampling_map() -> Dict[str, Any]:
             "dummy": DummySampler(element_count=2000, fill_value=0.5, coefficient=2)}
 
 
-def get_trainer_dict(config: Dict[str, Any], band_count: int, max_steps: int
-                     ) -> Dict[str, Any]:
-    return {
+def get_trainer_dict(config: Dict[str, Any], band_count: int, max_steps: int,
+                     mesh=None) -> Dict[str, Any]:
+    trainers = {
         "cycle_gan": CycleGANTrainer(band_count, config, max_steps),
         "gan_x2y": VanillaGANTrainer(band_count, config, max_steps, swap_inputs=False),
         "gan_y2x": VanillaGANTrainer(band_count, config, max_steps, swap_inputs=True),
@@ -42,3 +42,7 @@ def get_trainer_dict(config: Dict[str, Any], band_count: int, max_steps: int
         "dcl_gan": DCLGANTrainer(band_count, config, max_steps),
         "dcl_cycle_gan": DCLCycleGANTrainer(band_count, config, max_steps),
     }
+    if mesh is not None:
+        for trainer in trainers.values():
+            trainer.use_mesh(mesh)
+    return trainers

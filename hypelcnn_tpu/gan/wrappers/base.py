@@ -131,7 +131,19 @@ class GANTrainerBase:
         self.band_count = band_count
         self.config = dict(config)
         self.max_steps = max_steps
+        self.mesh = None
         self._train_step = None
+
+    def use_mesh(self, mesh) -> "GANTrainerBase":
+        """Enable data-parallel training over a device mesh: the x/y sample
+        batches shard over the ``data`` axis, params/opt-state/pool stay
+        replicated, and XLA inserts the gradient all-reduce — the same
+        GSPMD layout as the classification trainer (`parallel/mesh.py`).
+        The reference's second training runtime (`gan/gan_train_for_shadow.py:80-144`)
+        is single-device; this is its scaling story."""
+        self.mesh = mesh
+        self._train_step = None
+        return self
 
     # subclasses implement
     def init_state(self, key: jax.Array) -> GANState:
@@ -145,7 +157,20 @@ class GANTrainerBase:
 
     def train_step(self, state: GANState, x: jax.Array, y: jax.Array, key: jax.Array):
         if self._train_step is None:
-            self._train_step = jax.jit(self.build_train_step(), donate_argnums=(0,))
+            fn = self.build_train_step()
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from hypelcnn_tpu.parallel.mesh import DATA_AXIS
+
+                repl = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P(DATA_AXIS))
+                self._train_step = jax.jit(
+                    fn, donate_argnums=(0,),
+                    in_shardings=(repl, data, data, repl),
+                    out_shardings=(repl, repl))
+            else:
+                self._train_step = jax.jit(fn, donate_argnums=(0,))
         return self._train_step(state, x, y, key)
 
 

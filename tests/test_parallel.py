@@ -180,3 +180,50 @@ class TestTensorParallel:
         wide_spec = placed["layer"]["kernel"].sharding.spec
         assert wide_spec[-1] == "model"
         assert placed["small"]["kernel"].sharding.spec == ()  # replicated
+
+
+class TestGANOnMesh:
+    """GAN trainers on the mesh (VERDICT r2 item 3): DP must reproduce
+    single-device numerics — batch over the data axis, params replicated,
+    XLA-inserted gradient all-reduce."""
+
+    @pytest.mark.parametrize("gan_type", ["cycle_gan", "gan_x2y", "dcl_gan"])
+    def test_gan_dp_matches_single_device(self, gan_type):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from hypelcnn_tpu.gan.wrapper_registry import get_trainer_dict
+
+        bands, batch = 12, 16
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (batch, 1, 1, bands)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(0, 1, (batch, 1, 1, bands)).astype(np.float32))
+
+        losses = {}
+        for name, mesh in (("multi", create_mesh()),
+                           ("single", Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                                           (DATA_AXIS, MODEL_AXIS)))):
+            trainer = get_trainer_dict({"patches": 3, "embedded_feat_size": 2},
+                                       bands, max_steps=100,
+                                       mesh=mesh)[gan_type]
+            state = trainer.init_state(jax.random.key(0))
+            series = []
+            for i in range(3):
+                state, metrics = trainer.train_step(state, x, y, jax.random.key(i))
+                series.append(float(metrics["generator_loss"]))
+            losses[name] = series
+        np.testing.assert_allclose(losses["multi"], losses["single"], rtol=1e-4)
+
+    def test_translate_unaffected_by_mesh(self):
+        import jax.numpy as jnp
+        from hypelcnn_tpu.gan.wrapper_registry import get_trainer_dict
+
+        bands = 6
+        x = jnp.asarray(np.random.default_rng(1)
+                        .uniform(0, 1, (8, 1, 1, bands)).astype(np.float32))
+        plain = get_trainer_dict({}, bands, 100)["cycle_gan"]
+        meshed = get_trainer_dict({}, bands, 100, mesh=create_mesh())["cycle_gan"]
+        sp = plain.init_state(jax.random.key(0))
+        sm = meshed.init_state(jax.random.key(0))
+        np.testing.assert_array_equal(
+            np.asarray(plain.translate(sp.params, x, True)),
+            np.asarray(meshed.translate(sm.params, x, True)))
