@@ -44,6 +44,10 @@ class SyntheticDataLoader(DataLoader):
         self.bands = int(q.get("bands", [144])[0])
         self.classes = int(q.get("classes", [15])[0])
         self.seed = int(q.get("seed", [7])[0])
+        # spectral noise sigma; signatures are uniform(500, 8000), so ~120
+        # is near-separable while ~2000-3000 yields mid-range accuracies
+        # (useful for discriminating accuracy-parity experiments)
+        self.noise = float(q.get("noise", [120.0])[0])
         self.base_dir = q.get("base", ["."])[0]
         self._rng = np.random.default_rng(self.seed)
         self._gt = None
@@ -60,7 +64,7 @@ class SyntheticDataLoader(DataLoader):
         gt = np.kron(coarse, np.ones((8, 8), dtype=int))[:h, :w].astype(np.uint8)
         # distinct spectral signature per class + noise
         signatures = rng.uniform(500, 8000, size=(c, b)).astype(np.float32)
-        casi = signatures[gt] + rng.normal(0, 120, size=(h, w, b)).astype(np.float32)
+        casi = signatures[gt] + rng.normal(0, self.noise, size=(h, w, b)).astype(np.float32)
         casi = np.clip(casi, 0, None).astype(np.uint16)
         lidar = (gt.astype(np.float32)[:, :, None] * 3.7
                  + rng.normal(0, 0.3, size=(h, w, 1)).astype(np.float32))

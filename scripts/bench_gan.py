@@ -108,6 +108,11 @@ def main(argv=None):
     p.add_argument("--gan_types", default="cycle_gan,cut_x2y,dcl_gan,gan_x2y")
     p.add_argument("--bands", type=int, default=144)
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch_sweep", default=None,
+                   help="comma list (e.g. 32,128,512,1024): bench each batch "
+                        "size, decomposing fixed per-step overhead vs compute "
+                        "(nothing in the reference pins batch 32 for "
+                        "throughput, VERDICT r2)")
     p.add_argument("--chunk", type=int, default=200)
     p.add_argument("--windows", type=int, default=10)
     p.add_argument("--out", default=os.path.join(
@@ -132,14 +137,23 @@ def main(argv=None):
             json.dump(out, f, indent=2)
             f.write("\n")
 
+    batches = ([int(b) for b in args.batch_sweep.split(",")]
+               if args.batch_sweep else [args.batch])
     for gan_type in gan_types:
-        print(f"benching {gan_type} ...", flush=True)
-        res = bench_one(gan_type, args.bands, args.batch, args.chunk,
-                        args.windows)
-        out["results"][gan_type] = res
-        flush()  # each completed measurement survives a later failure
-        print(f"  {gan_type}: {res['steps_per_sec']} steps/s "
-              f"({res['ms_per_step']} ms/step)", flush=True)
+        for batch in batches:
+            print(f"benching {gan_type} batch={batch} ...", flush=True)
+            res = bench_one(gan_type, args.bands, batch, args.chunk,
+                            args.windows)
+            res["batch"] = batch
+            res["patches_per_sec"] = round(res["steps_per_sec"] * batch, 1)
+            if args.batch_sweep:
+                out["results"].setdefault(gan_type, {})[f"batch_{batch}"] = res
+            else:
+                out["results"][gan_type] = res
+            flush()  # each completed measurement survives a later failure
+            print(f"  {gan_type} b{batch}: {res['steps_per_sec']} steps/s "
+                  f"({res['ms_per_step']} ms/step, "
+                  f"{res['patches_per_sec']:.0f} patches/s)", flush=True)
     print(f"wrote {args.out}")
 
 

@@ -32,13 +32,9 @@ def main():
         bytes_moved = b * k * k * c * 4
         msg = (f"scene {h}x{w}x{c} k={k} B={b}: xla={t_xla*1e6:.0f}us "
                f"({bytes_moved/t_xla/1e9:.1f} GB/s)")
-        if b <= 512:
-            t_pal = timeit(lambda s, co: gather_patches_pallas(s, co, k), scene, coords)
-            msg += f" pallas={t_pal*1e6:.0f}us ({bytes_moved/t_pal/1e9:.1f} GB/s)"
-        else:
-            # scalar-prefetch SMEM limits the compiled Pallas kernel to
-            # batch <= 512 (ops/window_gather.py) — XLA-only above that
-            msg += " pallas=skipped (batch > 512 SMEM limit)"
+        # round-3 kernel: chunked SMEM coordinate blocks, no batch limit
+        t_pal = timeit(lambda s, co: gather_patches_pallas(s, co, k), scene, coords)
+        msg += f" pallas={t_pal*1e6:.0f}us ({bytes_moved/t_pal/1e9:.1f} GB/s)"
         print(msg)
 
 

@@ -116,9 +116,17 @@ def batch_norm(inputs, is_training=True, decay=0.999, epsilon=0.001,
                 # slim routes 2-D inputs through fused_batch_norm (reshaped
                 # to 4-D), whose returned batch_var carries BESSEL's
                 # correction for the moving update — replicate that here so
-                # the dense-layer moving variance matches real slim
-                n = int(inputs.get_shape()[0])
-                batch_var = batch_var * (n / max(n - 1, 1))
+                # the dense-layer moving variance matches real slim.  The
+                # batch dim is dynamic (None) under tf.data batching, so
+                # fall back to a runtime count in that case
+                n_static = getattr(inputs.get_shape()[0], "value",
+                                   inputs.get_shape()[0])
+                if n_static is not None:
+                    bessel = float(n_static) / max(float(n_static) - 1.0, 1.0)
+                else:
+                    n_dyn = tf.cast(tf.shape(inputs)[0], tf.float32)
+                    bessel = n_dyn / tf.maximum(n_dyn - 1.0, 1.0)
+                batch_var = batch_var * bessel
             one_minus = 1.0 - decay
             v1.add_to_collection(v1.GraphKeys.UPDATE_OPS, v1.assign_add(
                 moving_mean, (batch_mean - moving_mean) * one_minus))

@@ -146,3 +146,18 @@ class TestSplitters:
         rows = read_targets_from_image(self.make_targets(), range(0, 3))
         test, train = shuffle_test_data_using_ratio(rows, 0.0)
         assert test.shape[0] == 0 and train.shape[0] == 300
+
+    def test_pallas_chunked_large_batch_and_ragged(self):
+        # the round-2 kernel refused batch > 512 (scalar-prefetch SMEM cap);
+        # the chunked-SMEM round-3 kernel has no limit and handles batches
+        # that don't divide the chunk
+        scene, _, _ = make_scene()
+        dev = scene.device_scene()
+        rng = np.random.default_rng(3)
+        for batch in (700, 129):
+            coords = jnp.asarray(np.stack(
+                [rng.integers(0, 10, batch), rng.integers(0, 10, batch)],
+                axis=1).astype(np.int32))
+            np.testing.assert_allclose(
+                np.asarray(gather_patches_pallas(dev, coords, 5, interpret=True)),
+                np.asarray(gather_patches_xla(dev, coords, 5)), rtol=1e-6)

@@ -1,0 +1,65 @@
+"""Full-episode accuracy parity vs the reference (VERDICT r2 item 1).
+
+The fast test runs the two-sided harness end-to-end at smoke scale (both
+frameworks really train and evaluate; no accuracy assertion — 30 steps is
+noise).  The slow test is the real measurement: 2000 steps each on the
+shared scene with |delta validation OA| <= 0.5%.  Its most recent full run
+is committed as ``ACCURACY_PARITY.json`` (reference 0.9962 vs rebuild
+0.9942 validation OA, delta -0.20%).
+
+Enable the slow test with ``RUN_SLOW_PARITY=1`` (~5 min: the TF side runs
+at ~1.3k patches/s on this image's CPU).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference checkout not present")
+
+
+def run_harness(tmp_path, extra):
+    out = str(tmp_path / "parity.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "episode_parity.py"),
+         "--jax_platform", "cpu", "--out", out] + extra,
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    with open(out) as fid:
+        return json.load(fid)
+
+
+def test_episode_harness_both_sides_smoke(tmp_path):
+    report = run_harness(tmp_path, ["--steps", "30", "--h", "48", "--w", "64",
+                                    "--bands", "12", "--classes", "4"])
+    assert report["reference"]["framework"] == "tf_reference"
+    assert report["rebuild"]["framework"] == "rebuild"
+    for side in ("reference", "rebuild"):
+        assert 0.0 <= report[side]["validation_oa"] <= 1.0
+    assert "oa_delta" in report
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW_PARITY"),
+                    reason="set RUN_SLOW_PARITY=1 for the full 2000-step run")
+def test_episode_parity_full():
+    report = run_harness_full()
+    assert report["parity_target_met"], report
+
+
+def run_harness_full():
+    out = "/tmp/ACCURACY_PARITY_ci.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "episode_parity.py"),
+         "--jax_platform", "cpu", "--out", out],
+        capture_output=True, text=True, timeout=3600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"), cwd=REPO)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    with open(out) as fid:
+        return json.load(fid)
