@@ -43,14 +43,71 @@ def _from_spectral(x: jax.Array) -> jax.Array:
     return x.reshape(x.shape[0], -1)[:, None, None, :]
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact variable layout (``kernel``
+    [k, 1, 1], ``bias`` [1]) so the Toeplitz path below shares checkpoints
+    with the conv path."""
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (self.kernel_size, 1, 1))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        return kernel, bias
+
+
+def _toeplitz_from_kernel(kernel: jax.Array, length: int) -> jax.Array:
+    """Banded Toeplitz matrix T with ``x @ T`` == flax ``nn.Conv`` SAME
+    1-D convolution of ``x`` [B, length] by ``kernel`` [k, 1, 1]
+    (pad_low = (k-1)//2, so T[i, j] = w[i - j + pad_low])."""
+    k = kernel.shape[0]
+    w = kernel[:, 0, 0]
+    pad_low = (k - 1) // 2
+    i = jnp.arange(length)[:, None]
+    j = jnp.arange(length)[None, :]
+    idx = i - j + pad_low
+    valid = (idx >= 0) & (idx < k)
+    return jnp.where(valid, w[jnp.clip(idx, 0, k - 1)], 0.0)
+
+
 class ShadowGenerator(nn.Module):
-    """Dense-residual spectral conv generator (reference `:43-90`)."""
+    """Dense-residual spectral conv generator (reference `:43-90`).
+
+    ``impl="toeplitz"`` computes each 1-D spectral conv as a banded-matrix
+    matmul (``x @ T``) instead of a conv op — numerically identical and the
+    SAME parameter tree, but the whole 7-layer stack becomes a chain of
+    [B, bands] x [bands, bands] matmuls + elementwise ops that XLA fuses
+    far more aggressively than the conv lowering (the GAN step is
+    op-overhead-bound at production batch sizes — VERDICT r2 item 5).
+    """
     band_size: int
+    impl: str = "conv"  # "conv" | "toeplitz"
 
     @nn.compact
     def __call__(self, x: jax.Array, encoder_only: bool = False) -> jax.Array:
         k = self.band_size
         act = lambda v: nn.leaky_relu(v, negative_slope=0.1)
+
+        if self.impl == "toeplitz":
+            flat = x.reshape(x.shape[0], -1)  # [B, bands]
+
+            def layer(name, ksize, inp, use_act=True):
+                kern, bias = _ConvParams(max(ksize, 1), name=name)()
+                y = inp @ _toeplitz_from_kernel(kern, k) + bias[0]
+                return act(y) if use_act else y
+
+            net0 = flat
+            net1 = layer("net1", k, net0) + net0
+            net2 = layer("net2", k // 2, net1) + net1 + net0
+            net3 = layer("net3", k // 4, net2) + net2 + net1
+            net4 = layer("net4", k // 8, net3) + net3 + net2
+            if encoder_only:
+                return net4[:, None, None, :]
+            net5 = layer("net5", k // 4, net4) + net4 + net3
+            net6 = layer("net6", k // 2, net5) + net5 + net4
+            net7 = jnp.tanh(layer("net7", k, net6, use_act=False))
+            return net7[:, None, None, :]
 
         def conv(kernel, name, use_act=True):
             layer = nn.Conv(1, (max(kernel, 1),), padding="SAME", name=name,

@@ -132,7 +132,9 @@ class CUTTrainer(GANTrainerBase):
                  swap_inputs: bool):
         super().__init__(band_count, config, max_steps)
         self.swap_inputs = swap_inputs
-        self.generator = ShadowGenerator(band_size=band_count)
+        self.generator = ShadowGenerator(
+            band_size=band_count,
+            impl="toeplitz" if config.get("fused_generator") else "conv")
         self.discriminator = ShadowDiscriminator(band_size=band_count)
         self.feat_discriminator = ShadowFeatureDiscriminator(
             band_size=band_count,

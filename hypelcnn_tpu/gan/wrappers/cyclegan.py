@@ -49,7 +49,9 @@ class CycleGANTrainer(GANTrainerBase):
 
     def __init__(self, band_count: int, config: Dict[str, Any], max_steps: int):
         super().__init__(band_count, config, max_steps)
-        self.generator = ShadowGenerator(band_size=band_count)
+        self.generator = ShadowGenerator(
+            band_size=band_count,
+            impl="toeplitz" if config.get("fused_generator") else "conv")
         self.discriminator = ShadowDiscriminator(band_size=band_count)
         self.cycle_weight = config.get("cycle_consistency_loss_weight", 10.0)
         self.use_identity = config.get("use_identity_loss", True)

@@ -42,7 +42,9 @@ class DCLGANTrainer(GANTrainerBase):
 
     def __init__(self, band_count: int, config: Dict[str, Any], max_steps: int):
         super().__init__(band_count, config, max_steps)
-        self.generator = ShadowGenerator(band_size=band_count)
+        self.generator = ShadowGenerator(
+            band_size=band_count,
+            impl="toeplitz" if config.get("fused_generator") else "conv")
         self.discriminator = ShadowDiscriminator(band_size=band_count)
         self.feat_discriminator = ShadowFeatureDiscriminator(
             band_size=band_count,

@@ -40,7 +40,9 @@ class VanillaGANTrainer(GANTrainerBase):
                  swap_inputs: bool):
         super().__init__(band_count, config, max_steps)
         self.swap_inputs = swap_inputs
-        self.generator = ShadowGenerator(band_size=band_count)
+        self.generator = ShadowGenerator(
+            band_size=band_count,
+            impl="toeplitz" if config.get("fused_generator") else "conv")
         self.discriminator = ShadowDiscriminator(band_size=band_count)
         self.gen_tx = gan_adam(config.get("generator_lr", 2e-4), max_steps)
         self.disc_tx = gan_adam(config.get("discriminator_lr", 1e-4), max_steps)

@@ -113,6 +113,9 @@ def main(argv=None):
                         "size, decomposing fixed per-step overhead vs compute "
                         "(nothing in the reference pins batch 32 for "
                         "throughput, VERDICT r2)")
+    p.add_argument("--fused_generator", action="store_true",
+                   help="Toeplitz-matmul generator (gan/models.py impl="
+                        "'toeplitz'): same params/numerics, matmul lowering")
     p.add_argument("--chunk", type=int, default=200)
     p.add_argument("--windows", type=int, default=10)
     p.add_argument("--out", default=os.path.join(
@@ -120,6 +123,8 @@ def main(argv=None):
         "GAN_BENCH.json"))
     args = p.parse_args(argv)
 
+    if args.fused_generator:
+        CONFIG["fused_generator"] = True
     gan_types = [t.strip() for t in args.gan_types.split(",")]
     known = set(get_trainer_dict(CONFIG, args.bands, max_steps=1))
     unknown = [t for t in gan_types if t not in known]

@@ -117,6 +117,13 @@ def main(argv=None) -> int:
     parser.add_argument("--run_seed", type=int, default=1234,
                         help="per-run stochasticity seed for BOTH sides "
                              "(splits stay fixed; variance studies)")
+    parser.add_argument("--seeds", default=None,
+                        help="comma list: run BOTH sides once per seed and "
+                             "gate parity on the MEAN delta — single runs "
+                             "of either framework vary by ~±0.5%% OA at "
+                             "mid-range operating points (measured), so a "
+                             "single-seed comparison conflates run noise "
+                             "with framework bias")
     parser.add_argument("--jax_platform", default=None,
                         help="force the rebuild side onto cpu/tpu")
     parser.add_argument("--skip_reference", action="store_true",
@@ -145,6 +152,9 @@ def main(argv=None) -> int:
               "validation_targets": int(samples.validation_targets.shape[0]),
               "algorithm_params": EPISODE_PARAMS}
 
+    seeds = ([int(v) for v in args.seeds.split(",")] if args.seeds
+             else [args.run_seed])
+    ref_runs, rebuild_runs = [], []
     with tempfile.TemporaryDirectory() as tmp:
         if not args.skip_reference:
             shared_npz = os.path.join(tmp, "shared.npz")
@@ -159,35 +169,49 @@ def main(argv=None) -> int:
             params_json = os.path.join(tmp, "params.json")
             with open(params_json, "w") as fid:
                 json.dump(EPISODE_PARAMS, fid)
-            tf_out = os.path.join(tmp, "tf_report.json")
-            proc = subprocess.run(
-                [sys.executable, os.path.join(SCRIPTS_DIR, "episode_parity_tf.py"),
-                 "--data", shared_npz, "--algorithm-params", params_json,
-                 "--steps", str(args.steps),
-                 "--neighborhood", str(args.neighborhood),
-                 "--run_seed", str(args.run_seed), "--out", tf_out],
-                cwd=REPO, text=True)
-            if proc.returncode != 0:
-                print("reference side FAILED")
-                return 1
-            with open(tf_out) as fid:
-                tf_report = json.load(fid)
-            tf_report.pop("confusion", None)
-            report["reference"] = tf_report
+            for seed in seeds:
+                tf_out = os.path.join(tmp, f"tf_report_{seed}.json")
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(SCRIPTS_DIR, "episode_parity_tf.py"),
+                     "--data", shared_npz, "--algorithm-params", params_json,
+                     "--steps", str(args.steps),
+                     "--neighborhood", str(args.neighborhood),
+                     "--run_seed", str(seed), "--out", tf_out],
+                    cwd=REPO, text=True)
+                if proc.returncode != 0:
+                    print("reference side FAILED")
+                    return 1
+                with open(tf_out) as fid:
+                    tf_report = json.load(fid)
+                tf_report.pop("confusion", None)
+                ref_runs.append(tf_report)
+            report["reference"] = ref_runs[0] if len(ref_runs) == 1 else ref_runs
 
-        report["rebuild"] = run_rebuild(scene, samples, args.classes,
-                                        args.steps, args.jax_platform,
-                                        run_seed=args.run_seed)
+        for seed in seeds:
+            rebuild_runs.append(run_rebuild(scene, samples, args.classes,
+                                            args.steps, args.jax_platform,
+                                            run_seed=seed))
+        report["rebuild"] = (rebuild_runs[0] if len(rebuild_runs) == 1
+                             else rebuild_runs)
 
-    if "reference" in report:
+    if ref_runs:
         # parity is gated on the VALIDATION split: with 90% of the labeled
         # pixels (~11k samples) its OA granularity is well under the 0.5%
         # tolerance, while the reference-quirk test split is only ~1% of
         # targets (62 samples here = 1.6% per sample).  The reference's own
         # episode objective is validation accuracy too
-        # (`classify/train_for_classification.py:201-218`).
-        delta = (report["rebuild"]["validation_oa"]
-                 - report["reference"]["validation_oa"])
+        # (`classify/train_for_classification.py:201-218`).  With --seeds,
+        # the gate compares MEANS: single runs of either framework vary by
+        # ~±0.5% OA at mid-range operating points (measured), so a
+        # single-seed delta conflates run noise with framework bias.
+        ref_oas = [r["validation_oa"] for r in ref_runs]
+        reb_oas = [r["validation_oa"] for r in rebuild_runs]
+        report["reference_oa_mean"] = round(float(np.mean(ref_oas)), 5)
+        report["reference_oa_std"] = round(float(np.std(ref_oas)), 5)
+        report["rebuild_oa_mean"] = round(float(np.mean(reb_oas)), 5)
+        report["rebuild_oa_std"] = round(float(np.std(reb_oas)), 5)
+        delta = report["rebuild_oa_mean"] - report["reference_oa_mean"]
         report["oa_delta"] = round(delta, 5)
         # the north-star contract: within 0.5% — or better than the reference
         report["parity_target_met"] = bool(abs(delta) <= 0.005 or delta > 0)

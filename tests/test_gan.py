@@ -215,3 +215,36 @@ def test_dcl_cycle_fix_advances_gen_schedule_once_per_step():
 
     assert schedule_count(state.opt_states["x2y"]["gen"]) == 3
     assert schedule_count(state.opt_states["x2y"]["cycle_gen"]) == 3
+
+
+class TestToeplitzGenerator:
+    """impl="toeplitz" == impl="conv": same param tree, same outputs
+    (VERDICT r2 item 5 — the GAN-step fusion experiment)."""
+
+    def test_same_params_same_outputs(self):
+        conv_gen = ShadowGenerator(band_size=BANDS)
+        toe_gen = ShadowGenerator(band_size=BANDS, impl="toeplitz")
+        x = jnp.asarray(np.random.default_rng(0)
+                        .uniform(0, 1, (5, 1, 1, BANDS)).astype(np.float32))
+        variables = conv_gen.init(jax.random.key(0), x)
+        # zero-init generator gives zero outputs; randomize the params
+        variables = jax.tree.map(
+            lambda a: jnp.asarray(np.random.default_rng(a.size)
+                                  .normal(0, 0.3, a.shape).astype(np.float32)),
+            variables)
+        # identical trees: the toeplitz path declares nn.Conv's exact layout
+        assert jax.tree.map(jnp.shape, toe_gen.init(jax.random.key(0), x)) == \
+            jax.tree.map(jnp.shape, variables)
+        for enc in (False, True):
+            np.testing.assert_allclose(
+                np.asarray(conv_gen.apply(variables, x, encoder_only=enc)),
+                np.asarray(toe_gen.apply(variables, x, encoder_only=enc)),
+                rtol=2e-5, atol=2e-5)
+
+    def test_trainer_with_fused_generator_steps(self):
+        config = dict(CONFIG, fused_generator=True)
+        trainer = get_trainer_dict(config, BANDS, max_steps=10)["cycle_gan"]
+        state = trainer.init_state(jax.random.key(0))
+        x, y = rand_pixels(1), rand_pixels(2) * 0.5
+        state, metrics = trainer.train_step(state, x, y, jax.random.key(3))
+        assert np.isfinite(float(metrics["generator_loss"]))
