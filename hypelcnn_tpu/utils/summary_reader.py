@@ -1,13 +1,17 @@
 """Training-log scraping: confusion matrices + metric history to CSV.
 
-Role parity with reference `utilities/read_summary_file.py:13-54`, which
-scrapes TensorBoard event files for ``validation_confusion`` text tensors
-and writes one CSV per step.  The rebuild's runtime already writes
-``validation_confusion_<step>.csv`` next to the checkpoints, so this tool
-consolidates a log directory: per-step confusion CSVs plus a
-``metrics_history.csv`` derived from the trainer's history records.
+Parity with reference `utilities/read_summary_file.py:13-54`, which scrapes
+TensorBoard event files for ``validation_confusion`` text tensors and
+writes one CSV per step: real TF event files (e.g. EXISTING reference
+experiment logs) are parsed by ``hypelcnn_tpu.utils.tb_events`` — a
+TF-free TFRecord-framing + protobuf wire decoder, golden-tested against
+the reference reader — and the rebuild's own runtime artifacts
+(``validation_confusion_<step>.csv``, ``history.jsonl``) are consolidated
+alongside.
 
 CLI: ``python -m hypelcnn_tpu.utils.summary_reader <log_dir> [output_dir]``
+(or ``python -m hypelcnn_tpu.utils.tb_events <event_dir> [step ...]`` for
+the reference CLI's exact surface).
 """
 
 from __future__ import annotations

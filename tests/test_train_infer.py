@@ -320,3 +320,28 @@ class TestChunkGuard:
         trainer, _ = make_trainer(synthetic_loader, test_cadence=2)
         trainer.fit(num_steps=8, batch_size=16, log_every=2)
         assert trainer._last_chunk == 2
+
+
+class TestEvalTableFingerprint:
+    def test_replaced_targets_not_served_stale(self, synthetic_loader):
+        """The eval-table cache keys on a content fingerprint (ADVICE r2):
+        swapping the sample_set's test targets must change the evaluated
+        population, not silently reuse the old padded tables."""
+        from hypelcnn_tpu.data.loaders.base import SampleSet
+        np.random.seed(0)
+        trainer, data = make_trainer(synthetic_loader)
+        trainer.fit(num_steps=4, batch_size=16, log_every=4)
+        state = trainer.final_state
+        full = trainer.evaluate(state, "test")
+        old = trainer.sample_set
+        # restrict the test split to a single class: if the cache served the
+        # stale tables, per-class accuracy over the other classes would
+        # still be populated
+        one_class = old.test_targets[old.test_targets[:, 2] == 0]
+        assert 0 < one_class.shape[0] < old.test_targets.shape[0]
+        trainer.sample_set = SampleSet(training_targets=old.training_targets,
+                                       test_targets=one_class,
+                                       validation_targets=old.validation_targets)
+        restricted = trainer.evaluate(state, "test")
+        assert restricted.confusion.sum() == one_class.shape[0]
+        assert full.confusion.sum() == old.test_targets.shape[0]
