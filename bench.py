@@ -102,6 +102,14 @@ def main() -> None:
     parser.add_argument("--fused", type=int, default=None, choices=(0, 1),
                         help="override fuse_level_convs (A/B lever; default: "
                              "the model's default)")
+    parser.add_argument("--compiler_option", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="XLA compiler option override for the train "
+                             "chunk (repeatable), e.g. "
+                             "xla_tpu_allow_layout_negotiation=true — rides "
+                             "lowered.compile(compiler_options=...), which "
+                             "reaches the remote TPU compiler (env XLA_FLAGS "
+                             "may not)")
     args = parser.parse_args()
     _honor_platform_request()
 
@@ -159,7 +167,11 @@ def main() -> None:
                                         size=(chunk, batch_size)).astype(np.int32))
     step_nos = jnp.arange(chunk, dtype=jnp.uint32)
     lowered = step_fn.lower(state, arrays, tables, idx, step_nos)
-    compiled = lowered.compile()
+    if args.compiler_option:
+        opts = dict(kv.split("=", 1) for kv in args.compiler_option)
+        compiled = lowered.compile(compiler_options=opts)
+    else:
+        compiled = lowered.compile()
     step_flops = _flops_of(compiled)  # scan body counted once = ONE step
 
     state, losses = compiled(state, arrays, tables, idx, step_nos)  # warm
