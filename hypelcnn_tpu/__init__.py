@@ -22,4 +22,4 @@ Architecture differences from the reference (by design, not omission):
 - Data/model sharding via jax.sharding.Mesh + jit, with XLA collectives.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # round 3

@@ -36,6 +36,7 @@ def run_harness(tmp_path, extra):
         return json.load(fid)
 
 
+@pytest.mark.heavy
 def test_episode_harness_both_sides_smoke(tmp_path):
     report = run_harness(tmp_path, ["--steps", "30", "--h", "48", "--w", "64",
                                     "--bands", "12", "--classes", "4"])
@@ -46,6 +47,7 @@ def test_episode_harness_both_sides_smoke(tmp_path):
     assert "oa_delta" in report
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW_PARITY"),
                     reason="set RUN_SLOW_PARITY=1 for the full 2000-step run")
 def test_episode_parity_full():

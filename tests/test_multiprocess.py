@@ -23,6 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.heavy
 class TestTwoProcessTraining:
     def test_training_spans_processes_single_writer(self, tmp_path):
         """Both ranks train the same global program to the same loss; only
@@ -79,6 +80,7 @@ def _run_workers(nprocs, port, log_dir, devices_per_proc=2, mode="classify",
     return results
 
 
+@pytest.mark.heavy
 class TestFourProcessTraining:
     def test_four_process_one_device_each(self, tmp_path):
         """4 processes x 1 device: the mesh spans 4 single-device hosts;
@@ -91,6 +93,7 @@ class TestFourProcessTraining:
         assert chiefs == [0]
 
 
+@pytest.mark.heavy
 class TestTwoProcessGAN:
     def test_gan_training_spans_processes(self, tmp_path):
         """cycle_gan train steps over a 2-process mesh: generator loss is a
@@ -101,6 +104,7 @@ class TestTwoProcessGAN:
         assert float(results[0]["loss"]) == float(results[0]["loss"])  # finite
 
 
+@pytest.mark.heavy
 class TestResumeAcrossProcessCounts:
     def test_resume_single_process_from_two_process_checkpoint(self, tmp_path):
         """A checkpoint written by a 2-process run restores into THIS
