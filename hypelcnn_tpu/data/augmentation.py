@@ -15,7 +15,7 @@ Reference quirks preserved deliberately:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
