@@ -145,7 +145,14 @@ def gather_patches_pallas(scene: jax.Array, coords: jax.Array, patch_size: int,
     h, w, channels = scene.shape
     cp = _pad128(channels)
     k = patch_size
-    g = min(chunk, batch)
+    # VMEM guard: each grid step holds the scratch chunk plus the (double-
+    # buffered) output block, ~3 copies of chunk*k*k*cp elements.  Scale the
+    # chunk down so that stays inside a conservative VMEM budget (v5e has
+    # 128 MiB/core but Mosaic needs headroom for pipeline buffers) instead
+    # of failing to compile at large k/cp (e.g. k=9, cp=512 fp32).
+    vmem_budget = 48 * 1024 * 1024
+    per_window = 3 * k * k * cp * jnp.dtype(scene.dtype).itemsize
+    g = max(1, min(chunk, batch, vmem_budget // per_window))
     padded = ((batch + g - 1) // g) * g
     scene_flat = jnp.pad(scene, ((0, 0), (0, 0), (0, cp - channels))).reshape(h, 1, w * cp)
     coords = jnp.pad(coords.astype(jnp.int32), ((0, padded - batch), (0, 0)))

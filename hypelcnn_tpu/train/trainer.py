@@ -281,6 +281,11 @@ class ClassificationTrainer:
         cache_key = (split, batch_size, targets.shape,
                      hashlib.blake2b(tbytes, digest_size=8).hexdigest())
         if cache_key not in self._eval_tables:
+            # one live entry per (split, batch): a replaced sample_set must
+            # not leak the previous split's device-resident padded tables
+            stale = [k for k in self._eval_tables if k[:2] == (split, batch_size)]
+            for k in stale:
+                del self._eval_tables[k]
             # batch must divide over the data axis; tiny splits shrink to one batch
             data_size = self.mesh.shape[DATA_AXIS]
             eff_batch = pad_to_multiple(min(batch_size, n), data_size)
@@ -357,7 +362,8 @@ class ClassificationTrainer:
         # only makes hooks up to chunk-1 steps late — never skipped.  An
         # explicit small cadence (someone logging every step) is respected
         # via min(active cadences).
-        floor = min(c for c in cadences if c)
+        active = [c for c in cadences if c]
+        floor = min(active) if active else chunk
         if chunk < min(floor, 50):
             late = min(floor, 50)
             print(f"[chunk-guard] cadences {cadences} share gcd {chunk}; "

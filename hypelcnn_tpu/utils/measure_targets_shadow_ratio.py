@@ -35,7 +35,10 @@ def main(argv=None) -> None:
     normal = np.squeeze(normal)
     shadow = np.squeeze(shadow)
 
-    ratio = shadow / normal
+    # zero lit-side cells produce inf/nan rows that the finite filter drops;
+    # silence the expected divide-by-zero warning rather than spam stderr
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = shadow / normal
     ratio = ratio[np.isfinite(ratio).all(axis=1)]
     mean_res = np.mean(ratio, axis=0)
     std_res = np.std(ratio, axis=0)
