@@ -121,6 +121,22 @@ def run_session(params, base_log_path) -> List[float]:
     trainer = get_trainer_dict(vars(flags), band_count, flags.step)[flags.gan_type]
     state = trainer.init_state(rng.key("gan-init"))
 
+    from hypelcnn_tpu.train.checkpoint import (restore_checkpoint, save_checkpoint,
+                                               save_params_pytree)
+
+    # auto-resume from the latest FULL-state checkpoint (params + optimizer
+    # slots + pool + step), the reference's MonitoredTrainingSession
+    # (checkpoint_dir=log_dir) behavior (`gan/gan_train_for_shadow.py:128-139`);
+    # one checkpoint per validated iteration is kept, Saver(max_to_keep=
+    # step // validation_steps) parity (`:289`).
+    keep = max(flags.step // max(flags.validation_steps, 1), 1)
+    resume_step = 0
+    restored = restore_checkpoint(log_dir, template=state)
+    if restored is not None and int(restored.step) > 0:
+        state = jax.device_put(restored)
+        resume_step = min(int(restored.step), flags.step)
+        print(f"Resuming GAN training from checkpoint at step {resume_step}")
+
     validator = PeerValidator(loader, data_set, shadow_map, shadow_ratio,
                               neighborhood, flags.validation_sample_count, log_dir)
 
@@ -188,7 +204,10 @@ def run_session(params, base_log_path) -> List[float]:
 
     cadence = min(flags.validation_steps, total_steps)
     t0 = time.time()
-    start = 0
+    # the epoch-shuffled index stream is a deterministic function of the
+    # seeded rng pool, so resuming at step N and slicing from N continues the
+    # exact stream an uninterrupted run would have consumed
+    start = resume_step
     while start < total_steps:
         n = min(cadence, total_steps - start)
         idx_chunk = jax.lax.slice_in_dim(idx_stream, start, start + n, axis=0)
@@ -203,11 +222,14 @@ def run_session(params, base_log_path) -> List[float]:
             lambda s: trainer.translate(params_now, jnp.asarray(s), True),
             lambda s: trainer.translate(params_now, jnp.asarray(s), False),
             start, plot=True)
-        from hypelcnn_tpu.train.checkpoint import save_params_pytree
+        # params-only snapshot for the frozen-augmenter / inference consumers
+        # (gan_infer accepts a ckpt_params_N path) ...
         save_params_pytree(os.path.join(log_dir, f"ckpt_params_{start}"), params_now)
+        # ... plus the full GANState so a killed run resumes with optimizer
+        # moments and pool intact (reference Saver keeps the slot variables)
+        save_checkpoint(log_dir, state, max_to_keep=keep)
 
     # final params for use as a frozen augmenter
-    from hypelcnn_tpu.train.checkpoint import save_params_pytree
     save_params_pytree(os.path.join(log_dir, "gan_params"), jax.device_get(state.params))
 
     best_upper = validator.get_best_upper_div()
