@@ -33,6 +33,21 @@ import jax.numpy as jnp
 he_truncated = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
 
 
+def tf_leaky_relu(x: jax.Array, alpha: float) -> jax.Array:
+    """leaky-relu with TF's subgradient convention at exactly 0.
+
+    ``tf.nn.leaky_relu``'s gradient kernel computes ``x > 0 ? dy : alpha*dy``
+    — subgradient ALPHA at 0 — while ``jax.nn.leaky_relu`` is
+    ``where(x >= 0, ...)`` — subgradient 1.  Forward values are identical,
+    but the reference's generator is ZERO-initialized
+    (`gan/shadow_data_models.py:49`), so on the first training step every
+    hidden pre-activation is exactly 0 and the whole first generator update
+    differs by the alpha-vs-1 factor (measured: the two-sided GAN trajectory
+    experiment diverged ~5e-3/step until this matched;
+    scripts/gan_episode_parity.py).  ``where(x > 0)`` reproduces TF."""
+    return jnp.where(x > 0, x, alpha * x)
+
+
 def _to_spectral(x: jax.Array) -> jax.Array:
     """[B, 1, 1, bands] (or [B, bands]) -> [B, bands, 1]."""
     return x.reshape(x.shape[0], -1)[:, :, None]
@@ -87,7 +102,7 @@ class ShadowGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, encoder_only: bool = False) -> jax.Array:
         k = self.band_size
-        act = lambda v: nn.leaky_relu(v, negative_slope=0.1)
+        act = lambda v: tf_leaky_relu(v, 0.1)
 
         if self.impl == "toeplitz":
             flat = x.reshape(x.shape[0], -1)  # [B, bands]
@@ -146,7 +161,7 @@ class ShadowDiscriminator(nn.Module):
     def __call__(self, generated_data: jax.Array,
                  generator_input: Optional[jax.Array] = None) -> jax.Array:
         del generator_input  # accepted-but-unused, as in the reference
-        act = lambda v: nn.leaky_relu(v, negative_slope=0.1)
+        act = lambda v: tf_leaky_relu(v, 0.1)
         net = generated_data.reshape(generated_data.shape[0], -1)
         net = act(nn.Dense(self.band_size, kernel_init=he_truncated, name="fc1")(net))
         net = act(nn.Dense(self.band_size, kernel_init=he_truncated, name="fc2")(net))
@@ -161,7 +176,7 @@ class ShadowDiscriminatorSimple(nn.Module):
     @nn.compact
     def __call__(self, generated_data: jax.Array,
                  generator_input: Optional[jax.Array] = None) -> jax.Array:
-        act = lambda v: nn.leaky_relu(v, negative_slope=0.01)
+        act = lambda v: tf_leaky_relu(v, 0.01)
         g = generated_data.reshape(generated_data.shape[0], -1)
         i = generator_input.reshape(generator_input.shape[0], -1)
         net = jnp.concatenate([g, i], axis=1)[:, :, None]
@@ -183,7 +198,7 @@ class ShadowFeatureDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, features: jax.Array) -> jax.Array:
-        act = lambda v: nn.leaky_relu(v, negative_slope=0.1)
+        act = lambda v: tf_leaky_relu(v, 0.1)
         net = features.reshape(features.shape[0], -1)
         patch_size = self.band_size // self.patch_count
         outputs = []

@@ -33,8 +33,44 @@ def gan_lr_schedule(base_lr: float, max_steps: int) -> Callable:
     return schedule
 
 
-def gan_adam(base_lr: float, max_steps: int) -> optax.GradientTransformation:
-    return optax.adam(gan_lr_schedule(base_lr, max_steps), b1=0.5, b2=0.999, eps=1e-8)
+def gan_adam(base_lr: float, max_steps: int, b1: float = 0.5, b2: float = 0.999,
+             eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with TF's exact update formulation:
+
+    ``p -= lr * sqrt(1 - b2^t) / (1 - b1^t) * m_t / (sqrt(v_t) + eps)``
+
+    i.e. eps is added to the UNcorrected ``sqrt(v_t)`` and the bias
+    correction is folded into the step size — ``tf.train.AdamOptimizer``'s
+    documented algorithm, which the reference's GAN train ops use
+    (`gan/wrappers/gan_common.py:264-265`).  optax.adam applies eps to the
+    bias-corrected ``sqrt(v_hat)`` instead; the difference is O(eps) per
+    step but visibly shifts early-step trajectories from a zero-init
+    generator (measured in the two-sided GAN parity experiment,
+    scripts/gan_episode_parity.py), so the TF placement is authoritative
+    here."""
+    schedule = gan_lr_schedule(base_lr, max_steps)
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        del params
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1 - b1) * g,
+                                    state.mu, grads)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                                    state.nu, grads)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        lr_t = (schedule(state.count)
+                * jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c))
+        updates = jax.tree_util.tree_map(
+            lambda m, v: -lr_t * m / (jnp.sqrt(v) + eps), mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 @flax.struct.dataclass

@@ -1,0 +1,187 @@
+"""Reference-side cycle_gan training for the two-sided GAN parity experiment.
+
+Runs the reference's OWN wrapper + model code
+(`/root/reference/gan/wrappers/cycle_gan_wrapper.py`,
+`/root/reference/gan/shadow_data_models.py`) under the tf_slim and
+tensorflow_gan shims, on shared pair/validation arrays produced by
+scripts/gan_episode_parity.py.  Training regime mirrors the reference
+runtime (`gan/gan_train_for_shadow.py:128-144` + tfgan sequential hooks):
+one generator sess.run, one discriminator sess.run, one global-step
+increment per iteration.
+
+Batch consumption modes:
+- ``ref`` (default): the generator run and the discriminator run consume
+  SUCCESSIVE batches — with a tf.data iterator each hook's session.run
+  advances ``get_next``, so in the real reference G trains on batch 2t and
+  D on batch 2t+1.
+- ``matched``: both runs are fed the SAME batch (row t), the controlled
+  regime used for the step-matched loss-trajectory comparison against the
+  rebuild (whose jitted step uses one batch for both sub-updates).
+
+Outputs: a JSON report (per-step losses + per-validation divergence inputs)
+and an npz of generated validation arrays; optionally dumps initial variable
+values for weight injection into the rebuild.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True, help="npz with normal/shadow/idx/val_lit/val_shadow")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--validation_steps", type=int, default=200)
+    p.add_argument("--run_seed", type=int, default=1234)
+    p.add_argument("--batch_mode", choices=("ref", "matched"), default="ref")
+    p.add_argument("--trajectory_steps", type=int, default=0,
+                   help="record per-step losses for the first N steps")
+    p.add_argument("--dump_init", default=None,
+                   help="npz path: dump initial variable values")
+    p.add_argument("--out", required=True)
+    p.add_argument("--dump_generated", default=None,
+                   help="npz path: generated validation arrays per cadence")
+    # reference CLI defaults (gan/gan_train_for_shadow.py:28-78)
+    p.add_argument("--cycle_weight", type=float, default=10.0)
+    p.add_argument("--identity_weight", type=float, default=0.5)
+    p.add_argument("--generator_lr", type=float, default=2e-4)
+    p.add_argument("--discriminator_lr", type=float, default=1e-4)
+    p.add_argument("--disc_reg_scale", type=float, default=1e-5)
+    args = p.parse_args(argv)
+
+    from measure_tf_reference import install_dependency_shims
+    install_dependency_shims()
+    import tfgan_shim
+    tfgan_shim.install()
+
+    import types
+
+    import numpy as np
+    import tensorflow as tf
+
+    v1 = tf.compat.v1
+    v1.disable_v2_behavior()
+    v1.disable_eager_execution()
+
+    if not hasattr(tf, "estimator"):
+        # TF 2.21 dropped tf.estimator; the reference only uses its
+        # SessionRunHook re-export (gan_common.py:32)
+        est = types.ModuleType("tensorflow.estimator")
+        est.SessionRunHook = v1.train.SessionRunHook
+        tf.estimator = est
+
+    from gan.shadow_data_models import (shadowdata_discriminator_model,
+                                        shadowdata_generator_model)
+    from gan.wrappers.cycle_gan_wrapper import (CycleGANInferenceWrapper,
+                                                CycleGANWrapper)
+
+    d = np.load(args.data)
+    normal = d["normal"].astype(np.float32)
+    shadow = d["shadow"].astype(np.float32)
+    idx = d["idx"]
+    val_lit = d["val_lit"].astype(np.float32)
+    val_shadow = d["val_shadow"].astype(np.float32)
+    batch = idx.shape[1]
+    bands = normal.shape[-1]
+
+    graph = v1.Graph()
+    with graph.as_default():
+        v1.set_random_seed(args.run_seed)
+        x_ph = v1.placeholder(tf.float32, (batch, 1, 1, bands), name="x")
+        y_ph = v1.placeholder(tf.float32, (batch, 1, 1, bands), name="y")
+        wrapper = CycleGANWrapper(
+            cycle_consistency_loss_weight=args.cycle_weight,
+            identity_loss_weight=args.identity_weight,
+            use_identity_loss=True,
+            generator_fn=partial(shadowdata_generator_model,
+                                 create_only_encoder=False, is_training=True),
+            discriminator_fn=partial(shadowdata_discriminator_model,
+                                     is_training=True,
+                                     scale=args.disc_reg_scale))
+        model = wrapper.define_model(x_ph, y_ph)
+        loss = wrapper.define_loss(model)
+        train_ops = wrapper.define_train_ops(
+            model, loss, max_number_of_steps=args.steps,
+            generator_lr=args.generator_lr,
+            discriminator_lr=args.discriminator_lr)
+        gen_loss_t = (loss.loss_x2y.generator_loss
+                      + loss.loss_y2x.generator_loss)
+        disc_loss_t = (loss.loss_x2y.discriminator_loss
+                       + loss.loss_y2x.discriminator_loss)
+
+        infer = CycleGANInferenceWrapper(shadow_generator_fn=partial(
+            shadowdata_generator_model, create_only_encoder=False,
+            is_training=False))
+        vx = v1.placeholder(tf.float32, (None, 1, 1, bands), name="val_x")
+        vy = v1.placeholder(tf.float32, (None, 1, 1, bands), name="val_y")
+        shadow_out = infer.construct_inference_graph(
+            vx, is_shadow_graph=True, clip_invalid_values=False)
+        deshadow_out = infer.construct_inference_graph(
+            vy, is_shadow_graph=False, clip_invalid_values=False)
+
+        init_op = v1.global_variables_initializer()
+        var_list = v1.global_variables()
+
+    losses_gen, losses_disc = [], []
+    validations = {}
+    with v1.Session(graph=graph) as sess:
+        sess.run(init_op)
+        if args.dump_init:
+            np.savez(args.dump_init,
+                     **{v.name: sess.run(v) for v in var_list})
+        consumed = 0
+        for step in range(args.steps):
+            if args.batch_mode == "ref":
+                g_row, d_row = idx[consumed], idx[consumed + 1]
+                consumed += 2
+            else:
+                g_row = d_row = idx[step]
+            _, gl = sess.run(
+                [train_ops.generator_train_op, gen_loss_t],
+                {x_ph: normal[g_row], y_ph: shadow[g_row]})
+            _, dl = sess.run(
+                [train_ops.discriminator_train_op, disc_loss_t],
+                {x_ph: normal[d_row], y_ph: shadow[d_row]})
+            sess.run(train_ops.global_step_inc_op)
+            if step < args.trajectory_steps:
+                losses_gen.append(float(gl))
+                losses_disc.append(float(dl))
+            it = step + 1
+            if it % args.validation_steps == 0 or it == args.steps:
+                gen_shadow = sess.run(shadow_out, {vx: val_lit})
+                gen_deshadow = sess.run(deshadow_out, {vy: val_shadow})
+                validations[str(it)] = (gen_shadow, gen_deshadow)
+                print(f"[tf] step {it}: gen_loss={float(gl):.4f} "
+                      f"disc_loss={float(dl):.4f}", flush=True)
+
+    if args.dump_generated:
+        arrays = {}
+        for it, (gs, gd) in validations.items():
+            arrays[f"shadowed_{it}"] = gs
+            arrays[f"deshadowed_{it}"] = gd
+        np.savez(args.dump_generated, **arrays)
+
+    report = {
+        "framework": "reference_tf",
+        "steps": args.steps,
+        "batch": batch,
+        "batch_mode": args.batch_mode,
+        "run_seed": args.run_seed,
+        "validation_iterations": sorted(int(k) for k in validations),
+        "trajectory_gen_loss": losses_gen,
+        "trajectory_disc_loss": losses_disc,
+    }
+    with open(args.out, "w") as fid:
+        json.dump(report, fid, indent=2)
+    print(f"[tf] report -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

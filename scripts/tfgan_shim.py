@@ -1,0 +1,367 @@
+"""Minimal, faithful tensorflow_gan stand-in so the reference's GAN wrappers
+can run in this image (VERDICT r3 item 1).
+
+The image lacks ``tensorflow_gan``; the reference's cycle_gan path
+(`/root/reference/gan/wrappers/cycle_gan_wrapper.py`,
+`gan/wrappers/gan_common.py:267`) imports a small subset of it.  This module
+provides that subset with tfgan's documented semantics:
+
+- ``gan_model`` / ``cyclegan_model``: namedtuple model builders.  Sub-network
+  fns are wrapped in ``tf.compat.v1.make_template`` so repeated application
+  (discriminator on generated + real + pooled data; generator for
+  reconstruction/identity passes) shares variables with IDENTICAL names even
+  for slim layers that rely on auto-generated scopes — the variable-sharing
+  behavior tfgan gets from variable_scope reuse with real tf_slim.
+- ``gan_loss``: generator/discriminator losses from the provided tuple-loss
+  fns; with ``tensor_pool_fn`` the discriminator's generated-side outputs are
+  recomputed on pooled samples (tfgan ``_tensor_pool_adjusted_model``); scope
+  regularization losses (``GraphKeys.REGULARIZATION_LOSSES``) are added per
+  sub-network, which is how the reference's ``discriminator_reg_scale``
+  becomes effective.
+- ``tuple_losses``: LSGAN generator/discriminator (0.5-weighted mean-square
+  against the 1/0 labels), wasserstein pair, cycle-consistency L1.
+- ``features.tensor_pool``: the batch-granular history pool — a
+  RandomShuffleQueue of whole batches; pass-through while filling, then
+  always swap-in the new batch and return the dequeued one with
+  probability ``pooling_probability``.
+- ``gan_train_ops``: joint CycleGAN handling (sum of partial losses, union
+  of variable lists) + the plain GANModel path; optimizer.minimize with
+  ``global_step=None`` and a separate ``global_step_inc_op``, matching the
+  sequential-hook training regime.
+
+This is parity scaffolding, NOT part of the framework; nothing under
+``hypelcnn_tpu/`` imports it.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import tensorflow as tf
+
+v1 = tf.compat.v1
+
+# ---- namedtuples (tfgan.python.namedtuples) ----
+# class wrappers (no __slots__) deliberately: instances carry a __dict__, and
+# the reference's CycleGANModelWithIdentity assigns .identity_x/.identity_y
+# onto an instance (`cycle_gan_wrapper.py:318-319`)
+
+_GANModelBase = collections.namedtuple("GANModel", [
+    "generator_inputs", "generated_data", "generator_variables",
+    "generator_scope", "generator_fn", "real_data",
+    "discriminator_real_outputs", "discriminator_gen_outputs",
+    "discriminator_variables", "discriminator_scope", "discriminator_fn"])
+
+
+class GANModel(_GANModelBase):
+    pass
+
+
+_CycleGANModelBase = collections.namedtuple("CycleGANModel", [
+    "model_x2y", "model_y2x", "reconstructed_x", "reconstructed_y"])
+
+
+class CycleGANModel(_CycleGANModelBase):
+    pass
+
+
+GANLoss = collections.namedtuple("GANLoss", ["generator_loss", "discriminator_loss"])
+CycleGANLoss = collections.namedtuple("CycleGANLoss", ["loss_x2y", "loss_y2x"])
+GANTrainOps = collections.namedtuple(
+    "GANTrainOps",
+    ["generator_train_op", "discriminator_train_op", "global_step_inc_op",
+     "train_hooks"])
+GANTrainOps.__new__.__defaults__ = ((),)
+GANTrainSteps = collections.namedtuple(
+    "GANTrainSteps", ["generator_train_steps", "discriminator_train_steps"])
+
+
+# ---- model builders ----
+
+def gan_model(generator_fn, discriminator_fn, real_data, generator_inputs,
+              generator_scope="Generator", discriminator_scope="Discriminator",
+              check_shapes=True):
+    gen_tpl = v1.make_template(generator_scope, generator_fn)
+    generated_data = gen_tpl(generator_inputs)
+    if check_shapes and not generated_data.get_shape().is_compatible_with(
+            real_data.get_shape()):
+        raise ValueError("generator output shape %s != real data shape %s" %
+                         (generated_data.get_shape(), real_data.get_shape()))
+    disc_tpl = v1.make_template(discriminator_scope, discriminator_fn)
+    discriminator_gen_outputs = disc_tpl(generated_data, generator_inputs)
+    discriminator_real_outputs = disc_tpl(real_data, generator_inputs)
+    return GANModel(
+        generator_inputs=generator_inputs,
+        generated_data=generated_data,
+        generator_variables=gen_tpl.trainable_variables,
+        generator_scope=gen_tpl.variable_scope,
+        generator_fn=gen_tpl,
+        real_data=real_data,
+        discriminator_real_outputs=discriminator_real_outputs,
+        discriminator_gen_outputs=discriminator_gen_outputs,
+        discriminator_variables=disc_tpl.trainable_variables,
+        discriminator_scope=disc_tpl.variable_scope,
+        discriminator_fn=disc_tpl)
+
+
+def cyclegan_model(generator_fn, discriminator_fn, data_x, data_y,
+                   generator_scope="Generator",
+                   discriminator_scope="Discriminator",
+                   model_x2y_scope="ModelX2Y", model_y2x_scope="ModelY2X",
+                   check_shapes=True):
+    with v1.variable_scope(model_x2y_scope):
+        model_x2y = gan_model(generator_fn, discriminator_fn,
+                              real_data=data_y, generator_inputs=data_x,
+                              generator_scope=generator_scope,
+                              discriminator_scope=discriminator_scope,
+                              check_shapes=check_shapes)
+    with v1.variable_scope(model_y2x_scope):
+        model_y2x = gan_model(generator_fn, discriminator_fn,
+                              real_data=data_x, generator_inputs=data_y,
+                              generator_scope=generator_scope,
+                              discriminator_scope=discriminator_scope,
+                              check_shapes=check_shapes)
+    reconstructed_x = model_y2x.generator_fn(model_x2y.generated_data)
+    reconstructed_y = model_x2y.generator_fn(model_y2x.generated_data)
+    return CycleGANModel(model_x2y, model_y2x, reconstructed_x, reconstructed_y)
+
+
+# ---- losses ----
+
+def _ls_generator(discriminator_gen_outputs, real_label=1.0):
+    return tf.reduce_mean(
+        tf.math.squared_difference(
+            tf.cast(discriminator_gen_outputs, tf.float32), real_label)) / 2.0
+
+
+def _ls_discriminator(discriminator_real_outputs, discriminator_gen_outputs,
+                      real_label=1.0, fake_label=0.0):
+    loss_real = tf.reduce_mean(tf.math.squared_difference(
+        tf.cast(discriminator_real_outputs, tf.float32), real_label)) / 2.0
+    loss_gen = tf.reduce_mean(tf.math.squared_difference(
+        tf.cast(discriminator_gen_outputs, tf.float32), fake_label)) / 2.0
+    return loss_real + loss_gen
+
+
+import types as _types
+
+tuple_losses = _types.ModuleType("tensorflow_gan.python.losses.tuple_losses")
+tuple_losses.__doc__ = "tfgan tuple losses: args-losses lifted to GANModel."
+
+
+def _tuple_loss(fn):
+    setattr(tuple_losses, fn.__name__, fn)
+    return fn
+
+
+@_tuple_loss
+def least_squares_generator_loss(model, add_summaries=False, **kwargs):
+    del kwargs
+    loss = _ls_generator(model.discriminator_gen_outputs)
+    if add_summaries:
+        v1.summary.scalar("generator_ls_loss", loss)
+    return loss
+
+
+@_tuple_loss
+def least_squares_discriminator_loss(model, add_summaries=False, **kwargs):
+    del kwargs
+    loss = _ls_discriminator(model.discriminator_real_outputs,
+                             model.discriminator_gen_outputs)
+    if add_summaries:
+        v1.summary.scalar("discriminator_ls_loss", loss)
+    return loss
+
+
+@_tuple_loss
+def wasserstein_generator_loss(model, add_summaries=False, **kwargs):
+    del kwargs
+    loss = -tf.reduce_mean(model.discriminator_gen_outputs)
+    if add_summaries:
+        v1.summary.scalar("generator_wass_loss", loss)
+    return loss
+
+
+@_tuple_loss
+def wasserstein_discriminator_loss(model, add_summaries=False, **kwargs):
+    del kwargs
+    loss = (tf.reduce_mean(model.discriminator_gen_outputs)
+            - tf.reduce_mean(model.discriminator_real_outputs))
+    if add_summaries:
+        v1.summary.scalar("discriminator_wass_loss", loss)
+    return loss
+
+
+@_tuple_loss
+def cycle_consistency_loss(model, add_summaries=False, **kwargs):
+    del kwargs
+    loss = (tf.reduce_mean(tf.abs(model.reconstructed_x
+                                  - model.model_x2y.generator_inputs))
+            + tf.reduce_mean(tf.abs(model.reconstructed_y
+                                    - model.model_y2x.generator_inputs)))
+    if add_summaries:
+        v1.summary.scalar("cycle_consistency_loss", loss)
+    return loss
+
+
+def _validate_aux_loss_weight(aux_loss_weight, name="aux_loss_weight"):
+    if isinstance(aux_loss_weight, (int, float)) and aux_loss_weight < 0:
+        raise ValueError(f"`{name}` must be greater than 0. Instead, was "
+                         f"{aux_loss_weight}")
+    return aux_loss_weight
+
+
+def _tensor_pool_adjusted_model(model, tensor_pool_fn):
+    if tensor_pool_fn is None:
+        return model
+    pooled_generator_inputs, pooled_generated_data = tensor_pool_fn(
+        (model.generator_inputs, model.generated_data))
+    dis_gen_outputs = model.discriminator_fn(pooled_generated_data,
+                                             pooled_generator_inputs)
+    return model._replace(generator_inputs=pooled_generator_inputs,
+                          generated_data=pooled_generated_data,
+                          discriminator_gen_outputs=dis_gen_outputs)
+
+
+def gan_loss(model,
+             generator_loss_fn=tuple_losses.wasserstein_generator_loss,
+             discriminator_loss_fn=tuple_losses.wasserstein_discriminator_loss,
+             tensor_pool_fn=None, add_summaries=True, **kwargs):
+    del kwargs
+    gen_loss = generator_loss_fn(model, add_summaries=add_summaries)
+    dis_loss = discriminator_loss_fn(
+        _tensor_pool_adjusted_model(model, tensor_pool_fn),
+        add_summaries=add_summaries)
+    # scope regularization losses: this is where slim's weights_regularizer
+    # (the reference's discriminator_reg_scale) joins the training loss
+    gen_reg_loss = v1.losses.get_regularization_loss(model.generator_scope.name)
+    dis_reg_loss = v1.losses.get_regularization_loss(
+        model.discriminator_scope.name)
+    return GANLoss(generator_loss=gen_loss + gen_reg_loss,
+                   discriminator_loss=dis_loss + dis_reg_loss)
+
+
+# ---- features.tensor_pool ----
+
+class _Features:
+    @staticmethod
+    def tensor_pool(input_values, pool_size=50, pooling_probability=0.5,
+                    name="tensor_pool"):
+        """Batch-granular history pool: a RandomShuffleQueue of whole input
+        batches.  While filling: enqueue + pass through.  Once full: dequeue
+        a random stored batch, enqueue the new one, and return the old batch
+        with probability ``pooling_probability`` (else the new one)."""
+        single = not isinstance(input_values, (list, tuple))
+        vals = (input_values,) if single else tuple(input_values)
+        with v1.name_scope(name):
+            queue = tf.queue.RandomShuffleQueue(
+                capacity=pool_size, min_after_dequeue=0,
+                dtypes=[v.dtype for v in vals],
+                shapes=[v.get_shape() for v in vals])
+            counter = v1.get_variable(
+                f"pool_count_{len(v1.get_collection('__tensor_pools__'))}",
+                shape=[], dtype=tf.int32, trainable=False,
+                initializer=v1.zeros_initializer())
+            v1.add_to_collection("__tensor_pools__", counter)
+
+            def _fill():
+                with tf.control_dependencies(
+                        [queue.enqueue(vals), counter.assign_add(1)]):
+                    return tuple(tf.identity(v) for v in vals)
+
+            def _pooled():
+                deq = queue.dequeue()
+                deq = (deq,) if not isinstance(deq, (list, tuple)) else tuple(deq)
+                with tf.control_dependencies(deq):
+                    enq = queue.enqueue(vals)
+                with tf.control_dependencies([enq]):
+                    use_old = v1.random_uniform(()) < pooling_probability
+                    return tf.cond(
+                        use_old,
+                        lambda: tuple(tf.identity(d) for d in deq),
+                        lambda: tuple(tf.identity(v) for v in vals))
+
+            out = tf.cond(counter < pool_size, _fill, _pooled)
+        out = (out,) if not isinstance(out, (list, tuple)) else tuple(out)
+        return out[0] if single else out
+
+
+features = _Features()
+
+
+# ---- train ops + hooks ----
+
+def gan_train_ops(model, loss, generator_optimizer, discriminator_optimizer,
+                  **kwargs):
+    del kwargs  # summarize_gradients etc.: presentation-only in tfgan
+    if isinstance(model, CycleGANModel):
+        gen_loss = loss.loss_x2y.generator_loss + loss.loss_y2x.generator_loss
+        dis_loss = (loss.loss_x2y.discriminator_loss
+                    + loss.loss_y2x.discriminator_loss)
+        gen_vars = (list(model.model_x2y.generator_variables)
+                    + list(model.model_y2x.generator_variables))
+        dis_vars = (list(model.model_x2y.discriminator_variables)
+                    + list(model.model_y2x.discriminator_variables))
+    else:
+        gen_loss, dis_loss = loss.generator_loss, loss.discriminator_loss
+        gen_vars = list(model.generator_variables)
+        dis_vars = list(model.discriminator_variables)
+    global_step = v1.train.get_or_create_global_step()
+    gen_train_op = generator_optimizer.minimize(gen_loss, var_list=gen_vars,
+                                                global_step=None)
+    dis_train_op = discriminator_optimizer.minimize(dis_loss, var_list=dis_vars,
+                                                    global_step=None)
+    return GANTrainOps(generator_train_op=gen_train_op,
+                       discriminator_train_op=dis_train_op,
+                       global_step_inc_op=global_step.assign_add(1))
+
+
+class RunTrainOpsHook(v1.train.SessionRunHook):
+    def __init__(self, train_ops, train_steps):
+        self._train_ops = (train_ops if isinstance(train_ops, (list, tuple))
+                           else [train_ops])
+        self._train_steps = train_steps
+
+    def before_run(self, run_context):
+        for _ in range(self._train_steps):
+            run_context.session.run(self._train_ops)
+
+
+def get_sequential_train_hooks(train_steps=GANTrainSteps(1, 1)):
+    def get_hooks(train_ops):
+        return [RunTrainOpsHook(train_ops.generator_train_op,
+                                train_steps.generator_train_steps),
+                RunTrainOpsHook(train_ops.discriminator_train_op,
+                                train_steps.discriminator_train_steps)]
+    return get_hooks
+
+
+def install():
+    """Register this module as ``tensorflow_gan`` (+submodules)."""
+    import sys
+    import types
+
+    module = sys.modules[__name__]
+    sys.modules["tensorflow_gan"] = module
+
+    python = types.ModuleType("tensorflow_gan.python")
+    namedtuples = types.ModuleType("tensorflow_gan.python.namedtuples")
+    for name in ("GANModel", "CycleGANModel", "GANLoss", "CycleGANLoss",
+                 "GANTrainOps", "GANTrainSteps"):
+        setattr(namedtuples, name, getattr(module, name))
+    losses_mod = types.ModuleType("tensorflow_gan.python.losses")
+    losses_mod.tuple_losses = tuple_losses
+    train_mod = types.ModuleType("tensorflow_gan.python.train")
+    train_mod._validate_aux_loss_weight = _validate_aux_loss_weight
+    train_mod.gan_loss = gan_loss
+    train_mod.gan_train_ops = gan_train_ops
+
+    python.namedtuples = namedtuples
+    python.losses = losses_mod
+    python.train = train_mod
+    module.python = python
+    sys.modules["tensorflow_gan.python"] = python
+    sys.modules["tensorflow_gan.python.namedtuples"] = namedtuples
+    sys.modules["tensorflow_gan.python.losses"] = losses_mod
+    sys.modules["tensorflow_gan.python.losses.tuple_losses"] = tuple_losses
+    sys.modules["tensorflow_gan.python.train"] = train_mod

@@ -47,6 +47,16 @@ def test_episode_harness_both_sides_smoke(tmp_path):
     assert "oa_delta" in report
 
 
+@pytest.mark.heavy
+def test_episode_parity_500_step_mean_gate(tmp_path):
+    """Always-on numerics-drift gate (VERDICT r3 item 7): a 500-step
+    two-sided run on the standard scene must keep |delta validation OA|
+    within the contract, re-validating ACCURACY_PARITY.json's math in CI
+    instead of waiting for a manual rerun of the slow 2000-step gate."""
+    report = run_harness(tmp_path, ["--steps", "500", "--seeds", "1234,7,99"])
+    assert report["parity_target_met"], report
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW_PARITY"),
                     reason="set RUN_SLOW_PARITY=1 for the full 2000-step run")
