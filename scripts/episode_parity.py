@@ -60,8 +60,25 @@ EPISODE_PARAMS = {
 }
 
 
+def build_gan_shadow_struct(gan_ckpt, casi_bands):
+    """Import a reference cycle_gan Saver checkpoint as a frozen shadow
+    augmenter (the rebuild side of the reference's §3.4 chain: the importer
+    in its real role)."""
+    import jax
+
+    from hypelcnn_tpu.gan.shadow_ops import create_gan_shadow_struct
+    from hypelcnn_tpu.gan.wrapper_registry import get_trainer_dict
+    from hypelcnn_tpu.utils.tf_checkpoint_import import import_gan_generator_params
+
+    gan_trainer = get_trainer_dict({}, casi_bands, max_steps=1)["cycle_gan"]
+    template = jax.device_get(gan_trainer.init_state(jax.random.key(0)).params)
+    params = import_gan_generator_params("cycle_gan", template, gan_ckpt)
+    return create_gan_shadow_struct(gan_trainer, params, casi_bands)
+
+
 def run_rebuild(scene, samples, class_count, steps, jax_platform=None,
-                run_seed=1234):
+                run_seed=1234, spectral_augmentation=0.0, gan_ckpt=None,
+                casi_bands=None):
     if jax_platform:
         import jax
         jax.config.update("jax_platforms", jax_platform)
@@ -70,13 +87,19 @@ def run_rebuild(scene, samples, class_count, steps, jax_platform=None,
     from hypelcnn_tpu.models import HYPELCNNModel
     from hypelcnn_tpu.train.trainer import ClassificationTrainer
 
+    shadow_struct = (build_gan_shadow_struct(gan_ckpt, casi_bands)
+                     if gan_ckpt else None)
     model = HYPELCNNModel()
     algorithm_params = {**model.default_params(), **EPISODE_PARAMS}
     trainer = ClassificationTrainer(
         model=model, class_count=class_count,
         algorithm_params=algorithm_params, scene=scene, sample_set=samples,
-        augmentation_info=AugmentationInfo(perform_rotation_augmentation=True,
-                                           perform_reflection_augmentation=True),
+        augmentation_info=AugmentationInfo(
+            perform_rotation_augmentation=True,
+            perform_reflection_augmentation=True,
+            perform_spectral_augmentation=spectral_augmentation,
+            perform_shadow_augmentation=shadow_struct is not None,
+            shadow_struct=shadow_struct),
         seed=run_seed, test_cadence=10 ** 9)
     t0 = time.time()
     trainer.fit(steps, algorithm_params["batch_size"],
@@ -124,6 +147,19 @@ def main(argv=None) -> int:
                              "mid-range operating points (measured), so a "
                              "single-seed comparison conflates run noise "
                              "with framework bias")
+    parser.add_argument("--spectral_augmentation", type=float, default=0.0,
+                        help="max negative per-band spectral delta for BOTH "
+                             "sides (reference --augment_data_with_spectral; "
+                             "0 disables)")
+    parser.add_argument("--filter_count", type=int, default=None,
+                        help="override EPISODE_PARAMS filter_count (e.g. 480 "
+                             "for the reference-scale operating point)")
+    parser.add_argument("--gan_ckpt", default=None,
+                        help="tf.train.Saver cycle_gan checkpoint prefix: "
+                             "BOTH sides train with frozen-GAN shadow "
+                             "augmentation (the reference restoring it "
+                             "natively, the rebuild importing it via "
+                             "utils/tf_checkpoint_import)")
     parser.add_argument("--jax_platform", default=None,
                         help="force the rebuild side onto cpu/tpu")
     parser.add_argument("--skip_reference", action="store_true",
@@ -133,6 +169,8 @@ def main(argv=None) -> int:
 
     if args.jax_platform:
         os.environ["JAX_PLATFORMS"] = args.jax_platform
+    if args.filter_count:
+        EPISODE_PARAMS["filter_count"] = args.filter_count
 
     from hypelcnn_tpu.data.loaders.synthetic import SyntheticDataLoader
 
@@ -177,7 +215,9 @@ def main(argv=None) -> int:
                      "--data", shared_npz, "--algorithm-params", params_json,
                      "--steps", str(args.steps),
                      "--neighborhood", str(args.neighborhood),
-                     "--run_seed", str(seed), "--out", tf_out],
+                     "--spectral_augmentation", str(args.spectral_augmentation),
+                     "--run_seed", str(seed), "--out", tf_out]
+                    + (["--gan_ckpt", args.gan_ckpt] if args.gan_ckpt else []),
                     cwd=REPO, text=True)
                 if proc.returncode != 0:
                     print("reference side FAILED")
@@ -189,9 +229,11 @@ def main(argv=None) -> int:
             report["reference"] = ref_runs[0] if len(ref_runs) == 1 else ref_runs
 
         for seed in seeds:
-            rebuild_runs.append(run_rebuild(scene, samples, args.classes,
-                                            args.steps, args.jax_platform,
-                                            run_seed=seed))
+            rebuild_runs.append(run_rebuild(
+                scene, samples, args.classes, args.steps, args.jax_platform,
+                run_seed=seed,
+                spectral_augmentation=args.spectral_augmentation,
+                gan_ckpt=args.gan_ckpt, casi_bands=args.bands))
         report["rebuild"] = (rebuild_runs[0] if len(rebuild_runs) == 1
                              else rebuild_runs)
 

@@ -45,6 +45,13 @@ def main() -> None:
     parser.add_argument("--algorithm-params", required=True)
     parser.add_argument("--steps", type=int, required=True)
     parser.add_argument("--neighborhood", type=int, default=1)
+    parser.add_argument("--spectral_augmentation", type=float, default=0.0,
+                        help="max negative per-band delta (0 disables)")
+    parser.add_argument("--gan_ckpt", default=None,
+                        help="tf.train.Saver checkpoint prefix of a trained "
+                             "cycle_gan: enables frozen-GAN shadow "
+                             "augmentation (reference classify chain, "
+                             "monitored_session_runner.py:131-138)")
     parser.add_argument("--run_seed", type=int, default=1234,
                         help="graph-level seed (variance studies)")
     parser.add_argument("--out", required=True)
@@ -94,7 +101,8 @@ def main() -> None:
 
     augmentation_info = AugmentationInfo(
         shadow_struct=None, perform_shadow_augmentation=False,
-        perform_rotation_augmentation=True, perform_spectral_augmentation=False,
+        perform_rotation_augmentation=True,
+        perform_spectral_augmentation=args.spectral_augmentation or False,
         perform_reflection_augmentation=True, augmentation_random_threshold=0.5)
 
     device_id = "/cpu:0"
@@ -102,6 +110,43 @@ def main() -> None:
                                       batch_size, num_epochs=None,
                                       device=device_id, prefetch_size=1000)
     images, labels = train_iter.get_next()
+
+    gan_restorer = None
+    if args.gan_ckpt:
+        # frozen-GAN shadow augmentation (reference classify chain,
+        # `classify/monitored_session_runner.py:131-138` +
+        # `gan/gan_utilities.py:30-43`): the trained generator translates the
+        # HSI channels, LiDAR passes through, each example replaced with
+        # probability 0.5.  The reference applies it per example inside
+        # dataset.map; the generator is per-pixel, so batched application
+        # after the iterator with a per-example bernoulli mask is the same
+        # math — valid ONLY while spectral augmentation is off (shadow
+        # commutes with rotation/reflection but not with the additive
+        # spectral delta that the reference orders after it).
+        assert not args.spectral_augmentation, \
+            "--gan_ckpt requires --spectral_augmentation 0 (op ordering)"
+        from functools import partial as _partial
+
+        import tfgan_shim
+        tfgan_shim.install()
+        import types as _types
+        if not hasattr(tf, "estimator"):
+            est = _types.ModuleType("tensorflow.estimator")
+            est.SessionRunHook = v1.train.SessionRunHook
+            tf.estimator = est
+        from gan.shadow_data_models import shadowdata_generator_model
+        from gan.wrappers.cycle_gan_wrapper import CycleGANInferenceWrapper
+        infer_wrapper = CycleGANInferenceWrapper(shadow_generator_fn=_partial(
+            shadowdata_generator_model, create_only_encoder=False,
+            is_training=False))
+        shadowed_hsi = infer_wrapper.construct_inference_graph(
+            images[:, :, :, :-1], is_shadow_graph=True,
+            clip_invalid_values=False)
+        shadowed = tf.concat([shadowed_hsi, images[:, :, :, -1:]], axis=3)
+        u = v1.random_uniform([tf.shape(images)[0], 1, 1, 1], 0, 1.0)
+        mask = tf.cast(u < 0.5, tf.float32)
+        images = mask * shadowed + (1.0 - mask) * images
+        gan_restorer = infer_wrapper.create_generator_restorer()
 
     model = HYPELCNNModel()
     deep_nn_template = v1.make_template(
@@ -127,6 +172,11 @@ def main() -> None:
 
     with v1.Session() as sess:
         sess.run(v1.global_variables_initializer())
+        if gan_restorer is not None:
+            # restore the frozen generator OVER its fresh init (the reference
+            # overrides the ready op and restores via the generator restorer,
+            # monitored_session_runner.py:131-138)
+            gan_restorer.restore(sess, args.gan_ckpt)
         sess.run(train_iter.initializer)
         t0 = time.time()
         log_every = max(1, args.steps // 10)

@@ -92,7 +92,8 @@ def build_shared(args):
     from hypelcnn_tpu.gan.wrapper_registry import get_sampling_map
 
     spec = (f"synthetic://?h={args.h}&w={args.w}&bands={args.bands}"
-            f"&classes={args.classes}&seed={args.scene_seed}")
+            f"&classes={args.classes}&seed={args.scene_seed}"
+            f"&noise={getattr(args, 'noise', 120.0)}")
     loader = SyntheticDataLoader(spec)
     data_set = loader.load_data(neighborhood=0, normalize=True)
     shadow_map, shadow_ratio = loader.load_shadow_map(0, data_set)

@@ -48,6 +48,10 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--dump_generated", default=None,
                    help="npz path: generated validation arrays per cadence")
+    p.add_argument("--save_ckpt", default=None,
+                   help="save the final variables as a REAL tf.train.Saver "
+                        "checkpoint (the reference training format — feeds "
+                        "the GAN-augmented classification parity chain)")
     # reference CLI defaults (gan/gan_train_for_shadow.py:28-78)
     p.add_argument("--cycle_weight", type=float, default=10.0)
     p.add_argument("--identity_weight", type=float, default=0.5)
@@ -160,6 +164,11 @@ def main(argv=None) -> None:
                 validations[str(it)] = (gen_shadow, gen_deshadow)
                 print(f"[tf] step {it}: gen_loss={float(gl):.4f} "
                       f"disc_loss={float(dl):.4f}", flush=True)
+        if args.save_ckpt:
+            with graph.as_default():
+                saver = v1.train.Saver()
+            saver.save(sess, args.save_ckpt)
+            print(f"[tf] checkpoint -> {args.save_ckpt}")
 
     if args.dump_generated:
         arrays = {}
