@@ -77,6 +77,31 @@ def _flops_of(compiled) -> float:
     return float(cost.get("flops", 0.0)) if cost else 0.0
 
 
+# v5e HBM bandwidth per chip (public spec: 819 GB/s)
+PEAK_HBM_BYTES = {"v5lite": 819e9, "v5e": 819e9, "v5p": 2765e9,
+                  "v6": 1640e9, "v6e": 1640e9}
+
+
+def peak_hbm_for(device_kind: str):
+    kind = device_kind.lower().replace(" ", "")
+    for key, bw in sorted(PEAK_HBM_BYTES.items(), key=lambda kv: -len(kv[0])):
+        if key in kind:
+            return bw
+    return None
+
+
+def _bytes_of(compiled) -> float:
+    """"bytes accessed" of the compiled program per XLA's cost analysis —
+    same scan-body-once caveat as :func:`_flops_of` (the number is ~one
+    step's HBM traffic).  Static estimate: gathers are costed at their
+    sliced sizes, fusions at their root operands, so treat it as the
+    op-level traffic XLA schedules, not a DMA trace."""
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+
+
 def _honor_platform_request() -> None:
     # the ambient TPU plugin wins even over JAX_PLATFORMS (CLAUDE.md);
     # --smoke's documented CPU pass needs the authoritative config switch
@@ -193,6 +218,27 @@ def main() -> None:
     achieved_flops = step_flops * chunk / elapsed if step_flops else None
     mfu = (achieved_flops / peak) if (achieved_flops and peak) else None
 
+    # ---- roofline: which wall does the op mix hit first? ----
+    step_bytes = _bytes_of(compiled)
+    peak_bw = peak_hbm_for(device_kind)
+    step_ms = elapsed / chunk * 1e3
+    flops_bound_ms = (step_flops / peak * 1e3) if (step_flops and peak) else None
+    bytes_bound_ms = (step_bytes / peak_bw * 1e3) if (step_bytes and peak_bw) else None
+    roofline = None
+    if flops_bound_ms is not None and bytes_bound_ms is not None:
+        bound_ms = max(flops_bound_ms, bytes_bound_ms)
+        roofline = {
+            "step_bytes_accessed": round(step_bytes),
+            "peak_hbm_gbps": round(peak_bw / 1e9),
+            "flops_bound_ms": round(flops_bound_ms, 3),
+            "bytes_bound_ms": round(bytes_bound_ms, 3),
+            "binding_wall": ("hbm_bandwidth" if bytes_bound_ms > flops_bound_ms
+                             else "mxu_flops"),
+            "roofline_bound_ms": round(bound_ms, 3),
+            "measured_step_ms": round(step_ms, 3),
+            "fraction_of_roofline": round(bound_ms / step_ms, 3),
+        }
+
     # ---- full-scene inference: one jitted scan sweep over the whole scene ----
     from hypelcnn_tpu.infer.scene_inference import predict_full_scene_scan
     infer_vars = {"params": state.params}
@@ -226,6 +272,7 @@ def main() -> None:
             "train_achieved_tflops": round(achieved_flops / 1e12, 2) if achieved_flops else None,
             "train_mfu": round(mfu, 4) if mfu is not None else None,
             "peak_bf16_tflops": round(peak / 1e12) if peak else None,
+            "roofline": roofline,
             "full_scene_inference_s": round(sweep_s, 3),
             "full_scene_pixels_per_sec": round(height * width / sweep_s),
             "baseline": None if baseline is None else {

@@ -140,6 +140,16 @@ def gather_patches_pallas(scene: jax.Array, coords: jax.Array, patch_size: int,
     index map never needed the coordinate values, so prefetch was the wrong
     tool.  The batch is padded to a multiple of ``chunk`` (duplicate reads,
     sliced off afterwards).
+
+    COMPILED A/B on the v5e (round 4, scripts/profile_gather.py, median of
+    5 fetch-synchronized windows): the XLA gather wins at every measured
+    shape — 3.5/3.5/4.3 ms vs 9.1/9.2/9.5 ms at batch 512 (k=3/5/7),
+    4.0 vs 9.4 ms at batch 4096, 6.4 vs 10.5 ms at batch 16384 (timings
+    round-trip-dominated; the ratio is what matters).  The per-window DMA
+    issue/drain loops cost more than XLA's fused gather at small k, and the
+    advantage does not appear at any batch — so the XLA gather REMAINS the
+    production path and this kernel stays a scaffold for future
+    per-modality fusions (e.g. gather+normalize in one pass).
     """
     batch = coords.shape[0]
     h, w, channels = scene.shape
