@@ -58,25 +58,31 @@ GAN_CONFIG = {
     "discriminator_reg_scale": 1e-5,
 }
 
-# TF variable layout of the cycle_gan training graph (verified identical to
-# real reference checkpoints by utils/tf_checkpoint_import.py:189-204)
-_SCOPES = {"gen_x2y": "Model/ModelX2Y/Generator",
-           "gen_y2x": "Model/ModelY2X/Generator",
-           "disc_x2y": "Model/ModelX2Y/Discriminator",
-           "disc_y2x": "Model/ModelY2X/Discriminator"}
+# TF variable layout of the GAN training graphs (verified identical to real
+# reference checkpoints by utils/tf_checkpoint_import.py:189-204)
+_SCOPES = {
+    "cycle_gan": {"gen_x2y": "Model/ModelX2Y/Generator",
+                  "gen_y2x": "Model/ModelY2X/Generator",
+                  "disc_x2y": "Model/ModelX2Y/Discriminator",
+                  "disc_y2x": "Model/ModelY2X/Discriminator"},
+    "gan_x2y": {"generator": "Model/Generator",
+                "discriminator": "Model/Discriminator"},
+}
 _FC = {"fc1": "fully_connected", "fc2": "fully_connected_1",
        "fc3": "fully_connected_2"}
 
 
-def inject_tf_init(params, tf_values):
-    """Fill the rebuild's cycle_gan param pytree from a TF variable dump."""
+def inject_tf_init(params, tf_values, gan_type):
+    """Fill the rebuild's GAN param pytree from a TF variable dump."""
     import jax
     import jax.numpy as jnp
+
+    scopes = _SCOPES[gan_type]
 
     def fill(path, leaf):
         top, layer, leaf_name = (getattr(k, "key", str(k)) for k in path)
         suffix = {"kernel": "weights", "bias": "biases"}[leaf_name]
-        name = f"{_SCOPES[top]}/{_FC.get(layer, layer)}/{suffix}:0"
+        name = f"{scopes[top]}/{_FC.get(layer, layer)}/{suffix}:0"
         val = tf_values[name]
         assert val.shape == leaf.shape, (name, val.shape, leaf.shape)
         return jnp.asarray(val)
@@ -112,18 +118,20 @@ def build_shared(args):
 
 
 def run_rebuild(normal, shadow, idx, val_lit, val_shadow, steps, val_steps,
-                seed, init_values=None, trajectory_steps=0):
-    """Train the rebuild's cycle_gan; returns (losses, validations dict)."""
+                seed, init_values=None, trajectory_steps=0,
+                gan_type="cycle_gan"):
+    """Train the rebuild's GAN family; returns (losses, validations dict)."""
     import jax
     import jax.numpy as jnp
 
     from hypelcnn_tpu.gan.wrapper_registry import get_trainer_dict
 
     bands = normal.shape[-1]
-    trainer = get_trainer_dict(GAN_CONFIG, bands, steps)["cycle_gan"]
+    trainer = get_trainer_dict(GAN_CONFIG, bands, steps)[gan_type]
     state = trainer.init_state(jax.random.key(seed))
     if init_values is not None:
-        state = state.replace(params=inject_tf_init(state.params, init_values))
+        state = state.replace(params=inject_tf_init(state.params, init_values,
+                                                    gan_type))
 
     normal_d = jnp.asarray(normal)
     shadow_d = jnp.asarray(shadow)
@@ -145,8 +153,9 @@ def run_rebuild(normal, shadow, idx, val_lit, val_shadow, steps, val_steps,
             params = jax.device_get(state.params)
             gen_shadow = np.asarray(trainer.translate(
                 params, jnp.asarray(val_lit), True))
-            gen_deshadow = np.asarray(trainer.translate(
+            gen_deshadow = (np.asarray(trainer.translate(
                 params, jnp.asarray(val_shadow), False))
+                if gan_type == "cycle_gan" else None)
             validations[str(it)] = (gen_shadow, gen_deshadow)
             print(f"[rebuild] step {it}: gen_loss="
                   f"{float(metrics['generator_loss']):.4f} "
@@ -165,16 +174,20 @@ def divergence_trajectory(validations, originals_lit, originals_shadow,
         gen_shadow, gen_deshadow = validations[it]
         _, mean_s, _, div_s, _ = compute_ratio_stats(
             gen_shadow, originals_lit, adj_shadow_ratio(shadow_ratio, False))
-        _, mean_d, _, div_d, _ = compute_ratio_stats(
-            gen_deshadow, originals_shadow, adj_shadow_ratio(shadow_ratio, True))
-        out[it] = {"shadowed": float(div_s), "deshadowed": float(div_d),
-                   "mean_ratio_shadowed": [round(float(v), 5) for v in mean_s]}
+        entry = {"shadowed": float(div_s),
+                 "mean_ratio_shadowed": [round(float(v), 5) for v in mean_s]}
+        if gen_deshadow is not None:
+            _, mean_d, _, div_d, _ = compute_ratio_stats(
+                gen_deshadow, originals_shadow,
+                adj_shadow_ratio(shadow_ratio, True))
+            entry["deshadowed"] = float(div_d)
+        out[it] = entry
     return out
 
 
 def run_tf_side(tmp, tag, normal, shadow, idx, val_lit, val_shadow, steps,
                 val_steps, seed, batch_mode, trajectory_steps=0,
-                dump_init=False):
+                dump_init=False, gan_type="cycle_gan"):
     data_npz = os.path.join(tmp, f"data_{tag}.npz")
     np.savez(data_npz, normal=normal, shadow=shadow, idx=idx,
              val_lit=val_lit, val_shadow=val_shadow)
@@ -183,6 +196,7 @@ def run_tf_side(tmp, tag, normal, shadow, idx, val_lit, val_shadow, steps,
     init_npz = os.path.join(tmp, f"tfinit_{tag}.npz")
     cmd = [sys.executable, os.path.join(SCRIPTS_DIR, "gan_parity_tf.py"),
            "--data", data_npz, "--steps", str(steps),
+           "--gan_type", gan_type,
            "--validation_steps", str(val_steps), "--run_seed", str(seed),
            "--batch_mode", batch_mode, "--out", out_json,
            "--dump_generated", gen_npz,
@@ -197,7 +211,9 @@ def run_tf_side(tmp, tag, normal, shadow, idx, val_lit, val_shadow, steps,
     gen = np.load(gen_npz)
     validations = {}
     for it in report["validation_iterations"]:
-        validations[str(it)] = (gen[f"shadowed_{it}"], gen[f"deshadowed_{it}"])
+        validations[str(it)] = (gen[f"shadowed_{it}"],
+                                gen[f"deshadowed_{it}"]
+                                if f"deshadowed_{it}" in gen else None)
     init_values = dict(np.load(init_npz)) if dump_init else None
     return report, validations, init_values
 
@@ -209,6 +225,10 @@ def main(argv=None) -> int:
     p.add_argument("--bands", type=int, default=24)
     p.add_argument("--classes", type=int, default=6)
     p.add_argument("--scene_seed", type=int, default=11)
+    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y"),
+                   default="cycle_gan",
+                   help="family to compare (gan_x2y = vanilla wasserstein "
+                        "GAN, single direction)")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--validation_steps", type=int, default=200)
@@ -230,7 +250,9 @@ def main(argv=None) -> int:
 
     spec, normal, shadow, val_lit, val_shadow, shadow_ratio = build_shared(args)
     n_pairs = normal.shape[0]
-    report = {"scene": spec, "pairs": n_pairs, "gan_type": "cycle_gan",
+    directions = (("shadowed", "deshadowed") if args.gan_type == "cycle_gan"
+                  else ("shadowed",))
+    report = {"scene": spec, "pairs": n_pairs, "gan_type": args.gan_type,
               "config": GAN_CONFIG, "steps": args.steps, "batch": args.batch}
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -244,11 +266,12 @@ def main(argv=None) -> int:
                 tmp, "traj", normal, shadow, idx, val_lit, val_shadow,
                 steps=args.traj_steps, val_steps=args.traj_steps, seed=1234,
                 batch_mode="matched", trajectory_steps=args.traj_steps,
-                dump_init=True)
+                dump_init=True, gan_type=args.gan_type)
             lg, ld, _ = run_rebuild(
                 normal, shadow, idx, val_lit, val_shadow,
                 steps=args.traj_steps, val_steps=args.traj_steps, seed=1234,
-                init_values=init_values, trajectory_steps=args.traj_steps)
+                init_values=init_values, trajectory_steps=args.traj_steps,
+                gan_type=args.gan_type)
             gen_delta = [abs(a - b) for a, b in
                          zip(tf_rep["trajectory_gen_loss"], lg)]
             disc_delta = [abs(a - b) for a, b in
@@ -276,41 +299,35 @@ def main(argv=None) -> int:
                 _, tf_vals, _ = run_tf_side(
                     tmp, f"s{seed}", normal, shadow, idx, val_lit, val_shadow,
                     steps=args.steps, val_steps=args.validation_steps,
-                    seed=seed, batch_mode="ref")
+                    seed=seed, batch_mode="ref", gan_type=args.gan_type)
                 tf_traj = divergence_trajectory(tf_vals, val_lit, val_shadow,
                                                 shadow_ratio)
                 _, _, reb_vals = run_rebuild(
                     normal, shadow, idx, val_lit, val_shadow,
                     steps=args.steps, val_steps=args.validation_steps,
-                    seed=seed)
+                    seed=seed, gan_type=args.gan_type)
                 reb_traj = divergence_trajectory(reb_vals, val_lit, val_shadow,
                                                  shadow_ratio)
 
                 def best(traj, direction):
                     return min(v[direction] for v in traj.values())
 
-                per_seed.append({
-                    "seed": seed,
-                    "reference": {
-                        "trajectory": tf_traj,
-                        "best_shadowed": best(tf_traj, "shadowed"),
-                        "best_deshadowed": best(tf_traj, "deshadowed")},
-                    "rebuild": {
-                        "trajectory": reb_traj,
-                        "best_shadowed": best(reb_traj, "shadowed"),
-                        "best_deshadowed": best(reb_traj, "deshadowed")},
-                })
+                entry = {"seed": seed, "reference": {"trajectory": tf_traj},
+                         "rebuild": {"trajectory": reb_traj}}
+                for direction in directions:
+                    entry["reference"][f"best_{direction}"] = best(tf_traj,
+                                                                   direction)
+                    entry["rebuild"][f"best_{direction}"] = best(reb_traj,
+                                                                 direction)
+                per_seed.append(entry)
                 print(f"seed {seed}: ref best "
-                      f"{per_seed[-1]['reference']['best_shadowed']:.5f}/"
-                      f"{per_seed[-1]['reference']['best_deshadowed']:.5f} "
+                      f"{entry['reference']['best_shadowed']:.5f} "
                       f"rebuild best "
-                      f"{per_seed[-1]['rebuild']['best_shadowed']:.5f}/"
-                      f"{per_seed[-1]['rebuild']['best_deshadowed']:.5f}",
-                      flush=True)
+                      f"{entry['rebuild']['best_shadowed']:.5f}", flush=True)
 
             stats = {}
             ok = True
-            for direction in ("shadowed", "deshadowed"):
+            for direction in directions:
                 ref = [s["reference"][f"best_{direction}"] for s in per_seed]
                 reb = [s["rebuild"][f"best_{direction}"] for s in per_seed]
                 delta = float(np.mean(reb) - np.mean(ref))

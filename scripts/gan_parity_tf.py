@@ -37,6 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help="npz with normal/shadow/idx/val_lit/val_shadow")
+    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y"),
+                   default="cycle_gan")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--validation_steps", type=int, default=200)
     p.add_argument("--run_seed", type=int, default=1234)
@@ -85,6 +87,7 @@ def main(argv=None) -> None:
                                         shadowdata_generator_model)
     from gan.wrappers.cycle_gan_wrapper import (CycleGANInferenceWrapper,
                                                 CycleGANWrapper)
+    from gan.wrappers.gan_wrapper import GANInferenceWrapper, GANWrapper
 
     d = np.load(args.data)
     normal = d["normal"].astype(np.float32)
@@ -100,35 +103,51 @@ def main(argv=None) -> None:
         v1.set_random_seed(args.run_seed)
         x_ph = v1.placeholder(tf.float32, (batch, 1, 1, bands), name="x")
         y_ph = v1.placeholder(tf.float32, (batch, 1, 1, bands), name="y")
-        wrapper = CycleGANWrapper(
-            cycle_consistency_loss_weight=args.cycle_weight,
-            identity_loss_weight=args.identity_weight,
-            use_identity_loss=True,
-            generator_fn=partial(shadowdata_generator_model,
-                                 create_only_encoder=False, is_training=True),
-            discriminator_fn=partial(shadowdata_discriminator_model,
-                                     is_training=True,
-                                     scale=args.disc_reg_scale))
+        gen_fn = partial(shadowdata_generator_model,
+                         create_only_encoder=False, is_training=True)
+        disc_fn = partial(shadowdata_discriminator_model, is_training=True,
+                          scale=args.disc_reg_scale)
+        if args.gan_type == "cycle_gan":
+            wrapper = CycleGANWrapper(
+                cycle_consistency_loss_weight=args.cycle_weight,
+                identity_loss_weight=args.identity_weight,
+                use_identity_loss=True,
+                generator_fn=gen_fn, discriminator_fn=disc_fn)
+        else:
+            wrapper = GANWrapper(identity_loss_weight=args.identity_weight,
+                                 use_identity_loss=True, swap_inputs=False,
+                                 generator_fn=gen_fn, discriminator_fn=disc_fn)
         model = wrapper.define_model(x_ph, y_ph)
         loss = wrapper.define_loss(model)
         train_ops = wrapper.define_train_ops(
             model, loss, max_number_of_steps=args.steps,
             generator_lr=args.generator_lr,
             discriminator_lr=args.discriminator_lr)
-        gen_loss_t = (loss.loss_x2y.generator_loss
-                      + loss.loss_y2x.generator_loss)
-        disc_loss_t = (loss.loss_x2y.discriminator_loss
-                       + loss.loss_y2x.discriminator_loss)
+        if args.gan_type == "cycle_gan":
+            gen_loss_t = (loss.loss_x2y.generator_loss
+                          + loss.loss_y2x.generator_loss)
+            disc_loss_t = (loss.loss_x2y.discriminator_loss
+                           + loss.loss_y2x.discriminator_loss)
+        else:
+            gen_loss_t = loss.generator_loss
+            disc_loss_t = loss.discriminator_loss
 
-        infer = CycleGANInferenceWrapper(shadow_generator_fn=partial(
-            shadowdata_generator_model, create_only_encoder=False,
-            is_training=False))
+        infer_gen_fn = partial(shadowdata_generator_model,
+                               create_only_encoder=False, is_training=False)
         vx = v1.placeholder(tf.float32, (None, 1, 1, bands), name="val_x")
         vy = v1.placeholder(tf.float32, (None, 1, 1, bands), name="val_y")
-        shadow_out = infer.construct_inference_graph(
-            vx, is_shadow_graph=True, clip_invalid_values=False)
-        deshadow_out = infer.construct_inference_graph(
-            vy, is_shadow_graph=False, clip_invalid_values=False)
+        if args.gan_type == "cycle_gan":
+            infer = CycleGANInferenceWrapper(shadow_generator_fn=infer_gen_fn)
+            shadow_out = infer.construct_inference_graph(
+                vx, is_shadow_graph=True, clip_invalid_values=False)
+            deshadow_out = infer.construct_inference_graph(
+                vy, is_shadow_graph=False, clip_invalid_values=False)
+        else:  # single x2y generator: shadow direction only
+            infer = GANInferenceWrapper(fetch_shadows=False,
+                                        shadow_generator_fn=infer_gen_fn)
+            shadow_out = infer.construct_inference_graph(
+                vx, is_shadow_graph=True, clip_invalid_values=False)
+            deshadow_out = None
 
         init_op = v1.global_variables_initializer()
         var_list = v1.global_variables()
@@ -160,7 +179,8 @@ def main(argv=None) -> None:
             it = step + 1
             if it % args.validation_steps == 0 or it == args.steps:
                 gen_shadow = sess.run(shadow_out, {vx: val_lit})
-                gen_deshadow = sess.run(deshadow_out, {vy: val_shadow})
+                gen_deshadow = (sess.run(deshadow_out, {vy: val_shadow})
+                                if deshadow_out is not None else None)
                 validations[str(it)] = (gen_shadow, gen_deshadow)
                 print(f"[tf] step {it}: gen_loss={float(gl):.4f} "
                       f"disc_loss={float(dl):.4f}", flush=True)
@@ -174,11 +194,13 @@ def main(argv=None) -> None:
         arrays = {}
         for it, (gs, gd) in validations.items():
             arrays[f"shadowed_{it}"] = gs
-            arrays[f"deshadowed_{it}"] = gd
+            if gd is not None:
+                arrays[f"deshadowed_{it}"] = gd
         np.savez(args.dump_generated, **arrays)
 
     report = {
         "framework": "reference_tf",
+        "gan_type": args.gan_type,
         "steps": args.steps,
         "batch": batch,
         "batch_mode": args.batch_mode,
