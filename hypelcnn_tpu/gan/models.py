@@ -91,10 +91,14 @@ class ShadowGenerator(nn.Module):
 
     ``impl="toeplitz"`` computes each 1-D spectral conv as a banded-matrix
     matmul (``x @ T``) instead of a conv op — numerically identical and the
-    SAME parameter tree, but the whole 7-layer stack becomes a chain of
-    [B, bands] x [bands, bands] matmuls + elementwise ops that XLA fuses
-    far more aggressively than the conv lowering (the GAN step is
-    op-overhead-bound at production batch sizes — VERDICT r2 item 5).
+    SAME parameter tree (CI-tested).  REFUTED as a perf lever on the v5e
+    (round 4, scripts/bench_gan.py --fused_generator, 144 bands): a
+    cycle_gan step runs at a FLAT ~9.2 ms for batch 32/512/1024 vs the conv
+    path's 0.77/2.9/6.6 ms — 12x slower at batch 32, 3x at 512.  Building
+    the [bands, bands] banded matrices from the kernels inside the step
+    (iota compares + select per layer per generator application) costs far
+    more than the conv lowering it replaces.  ``conv`` stays the default;
+    the toeplitz path is kept for checkpoint-compatible experimentation.
     """
     band_size: int
     impl: str = "conv"  # "conv" | "toeplitz"

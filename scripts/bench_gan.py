@@ -136,6 +136,16 @@ def main(argv=None):
                       "chunk": args.chunk, "windows": args.windows,
                       "device": dev.device_kind, "platform": dev.platform},
            "results": {}}
+    # MERGE with an existing artifact: a crashed/partial sweep re-run with
+    # the remaining gan_types must not clobber completed measurements
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("config", {}).get("bands") == args.bands:
+                out["results"].update(prev.get("results", {}))
+        except (json.JSONDecodeError, KeyError):
+            pass
 
     def flush():
         with open(args.out, "w") as f:

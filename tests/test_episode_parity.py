@@ -24,14 +24,19 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir("/root/reference"), reason="reference checkout not present")
 
 
-def run_harness(tmp_path, extra):
+def run_harness(tmp_path, extra, allow_gate_fail=False):
     out = str(tmp_path / "parity.json")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "episode_parity.py"),
          "--jax_platform", "cpu", "--out", out] + extra,
         capture_output=True, text=True, timeout=1800, env=env, cwd=REPO)
-    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
+    # rc 1 with a complete report = the parity GATE failed (meaningless at
+    # smoke step counts where accuracies are noise); rc != 0 without a
+    # report = the harness itself broke
+    ok_codes = (0, 1) if allow_gate_fail else (0,)
+    assert proc.returncode in ok_codes and os.path.exists(out), \
+        proc.stdout[-3000:] + proc.stderr[-2000:]
     with open(out) as fid:
         return json.load(fid)
 
@@ -39,7 +44,8 @@ def run_harness(tmp_path, extra):
 @pytest.mark.heavy
 def test_episode_harness_both_sides_smoke(tmp_path):
     report = run_harness(tmp_path, ["--steps", "30", "--h", "48", "--w", "64",
-                                    "--bands", "12", "--classes", "4"])
+                                    "--bands", "12", "--classes", "4"],
+                         allow_gate_fail=True)
     assert report["reference"]["framework"] == "tf_reference"
     assert report["rebuild"]["framework"] == "rebuild"
     for side in ("reference", "rebuild"):
