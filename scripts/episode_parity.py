@@ -59,6 +59,21 @@ EPISODE_PARAMS = {
     "use_residual": True,
 }
 
+MODEL_NAME = "HYPELCNNModel"
+
+# CONCNN point: the shipped modelconfig (alg_param_concnn.json) with a
+# larger batch for wall-clock — exercises the MomentumOptimizer path and the
+# keep_prob-inversion quirk at training-run scale
+CONCNN_EPISODE_PARAMS = {
+    "batch_size": 48,
+    "drop_out_ratio": 0.5,
+    "learning_rate": 1e-3,
+    "learning_rate_decay_factor": 0.01,
+    "learning_rate_decay_step": 33333,
+    "filter_count": 128,
+    "optimizer": ["MomentumOptimizer", 0.9],
+}
+
 
 def build_gan_shadow_struct(gan_ckpt, casi_bands):
     """Import a reference cycle_gan Saver checkpoint as a frozen shadow
@@ -83,13 +98,13 @@ def run_rebuild(scene, samples, class_count, steps, jax_platform=None,
         import jax
         jax.config.update("jax_platforms", jax_platform)
 
+    from hypelcnn_tpu.core.registry import get_model_from_name
     from hypelcnn_tpu.data.augmentation import AugmentationInfo
-    from hypelcnn_tpu.models import HYPELCNNModel
     from hypelcnn_tpu.train.trainer import ClassificationTrainer
 
     shadow_struct = (build_gan_shadow_struct(gan_ckpt, casi_bands)
                      if gan_ckpt else None)
-    model = HYPELCNNModel()
+    model = get_model_from_name(MODEL_NAME)  # returns an instance
     algorithm_params = {**model.default_params(), **EPISODE_PARAMS}
     trainer = ClassificationTrainer(
         model=model, class_count=class_count,
@@ -154,6 +169,10 @@ def main(argv=None) -> int:
     parser.add_argument("--filter_count", type=int, default=None,
                         help="override EPISODE_PARAMS filter_count (e.g. 480 "
                              "for the reference-scale operating point)")
+    parser.add_argument("--model", default="HYPELCNNModel",
+                        choices=("HYPELCNNModel", "CONCNNModel"),
+                        help="model family for BOTH sides (CONCNN exercises "
+                             "the MomentumOptimizer + keep_prob quirk)")
     parser.add_argument("--gan_ckpt", default=None,
                         help="tf.train.Saver cycle_gan checkpoint prefix: "
                              "BOTH sides train with frozen-GAN shadow "
@@ -169,6 +188,11 @@ def main(argv=None) -> int:
 
     if args.jax_platform:
         os.environ["JAX_PLATFORMS"] = args.jax_platform
+    global MODEL_NAME
+    MODEL_NAME = args.model
+    if args.model == "CONCNNModel":
+        EPISODE_PARAMS.clear()
+        EPISODE_PARAMS.update(CONCNN_EPISODE_PARAMS)
     if args.filter_count:
         EPISODE_PARAMS["filter_count"] = args.filter_count
 
@@ -216,6 +240,7 @@ def main(argv=None) -> int:
                      "--steps", str(args.steps),
                      "--neighborhood", str(args.neighborhood),
                      "--spectral_augmentation", str(args.spectral_augmentation),
+                     "--model", args.model,
                      "--run_seed", str(seed), "--out", tf_out]
                     + (["--gan_ckpt", args.gan_ckpt] if args.gan_ckpt else []),
                     cwd=REPO, text=True)

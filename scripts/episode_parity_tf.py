@@ -47,6 +47,7 @@ def main() -> None:
     parser.add_argument("--neighborhood", type=int, default=1)
     parser.add_argument("--spectral_augmentation", type=float, default=0.0,
                         help="max negative per-band delta (0 disables)")
+    parser.add_argument("--model", default="HYPELCNNModel")
     parser.add_argument("--gan_ckpt", default=None,
                         help="tf.train.Saver checkpoint prefix of a trained "
                              "cycle_gan: enables frozen-GAN shadow "
@@ -67,12 +68,15 @@ def main() -> None:
     v1 = tf.compat.v1
     v1.set_random_seed(args.run_seed)  # reference set_run_seed (default 1234)
 
+    import importlib
+
     from common.common_nn_ops import (AugmentationInfo, BasicDataSet,
                                       optimize_nn, training_nn_iterator)
     from importer.GeneratorImporter import (GeneratorDataInfo,
                                             GeneratorImporter,
                                             GeneratorSpecialData)
-    from nnmodel.HYPELCNNModel import HYPELCNNModel
+    RefModel = getattr(importlib.import_module(f"nnmodel.{args.model}"),
+                       args.model)
 
     shared = np.load(args.data)
     casi, lidar = shared["casi"], shared["lidar"]
@@ -148,7 +152,7 @@ def main() -> None:
         images = mask * shadowed + (1.0 - mask) * images
         gan_restorer = infer_wrapper.create_generator_restorer()
 
-    model = HYPELCNNModel()
+    model = RefModel()
     deep_nn_template = v1.make_template(
         "nn_core", model.create_tensor_graph, class_count=class_count)
     _y_conv, cross_entropy, _lr, train_step = optimize_nn(
