@@ -74,6 +74,48 @@ CONCNN_EPISODE_PARAMS = {
     "optimizer": ["MomentumOptimizer", 0.9],
 }
 
+# CAP point: the shipped modelconfig (alg_param_capn.json) scaled to half
+# width for the 1-core TF side — exercises dynamic routing, the
+# always-batch-stats BN quirk and the margin+decoder loss end to end
+CAP_EPISODE_PARAMS = {
+    "iter_routing": 3,
+    "conv_layer_kernel_size": 1,
+    "primary_caps_kernel_size": 1,
+    "feature_count": 128,
+    "primary_capsule_count": 16,
+    "primary_capsule_output_space": 8,
+    "digit_capsule_output_space": 16,
+    "batch_size": 16,
+    "optimizer": "AdamOptimizer",
+    "learning_rate": 1e-4,
+    "learning_rate_decay_factor": 0.96,
+    "learning_rate_decay_step": 350,
+    "lrelu_alpha": 0.18,
+    "enable_decoding": True,
+}
+
+# DUALCNN point: the shipped modelconfig at quarter width (the dual
+# spatial/spectral towers + lidar split path); needs --neighborhood >= 2
+DUALCNN_EPISODE_PARAMS = {
+    "batch_size": 48,
+    "drop_out_ratio": 0.7,
+    "learning_rate": 3e-4,
+    "learning_rate_decay_factor": 0.96,
+    "learning_rate_decay_step": 350,
+    "lrelu_alpha": 0.18,
+    "filter_count": 120,
+    "optimizer": "AdamOptimizer",
+    "hs_lidar_diff": 1,
+    "l2regularizer_scale": 1e-5,
+}
+
+MODEL_EPISODE_PARAMS = {
+    "HYPELCNNModel": EPISODE_PARAMS,
+    "CONCNNModel": CONCNN_EPISODE_PARAMS,
+    "CAPModel": CAP_EPISODE_PARAMS,
+    "DUALCNNModel": DUALCNN_EPISODE_PARAMS,
+}
+
 
 def build_gan_shadow_struct(gan_ckpt, casi_bands):
     """Import a reference cycle_gan Saver checkpoint as a frozen shadow
@@ -170,9 +212,11 @@ def main(argv=None) -> int:
                         help="override EPISODE_PARAMS filter_count (e.g. 480 "
                              "for the reference-scale operating point)")
     parser.add_argument("--model", default="HYPELCNNModel",
-                        choices=("HYPELCNNModel", "CONCNNModel"),
-                        help="model family for BOTH sides (CONCNN exercises "
-                             "the MomentumOptimizer + keep_prob quirk)")
+                        choices=("HYPELCNNModel", "CONCNNModel", "CAPModel",
+                                 "DUALCNNModel"),
+                        help="model family for BOTH sides (CONCNN: Momentum "
+                             "+ keep_prob quirk; CAP: dynamic routing; "
+                             "DUALCNN: dual towers, needs --neighborhood>=2)")
     parser.add_argument("--gan_ckpt", default=None,
                         help="tf.train.Saver cycle_gan checkpoint prefix: "
                              "BOTH sides train with frozen-GAN shadow "
@@ -190,9 +234,10 @@ def main(argv=None) -> int:
         os.environ["JAX_PLATFORMS"] = args.jax_platform
     global MODEL_NAME
     MODEL_NAME = args.model
-    if args.model == "CONCNNModel":
+    if args.model != "HYPELCNNModel":
+        override = dict(MODEL_EPISODE_PARAMS[args.model])
         EPISODE_PARAMS.clear()
-        EPISODE_PARAMS.update(CONCNN_EPISODE_PARAMS)
+        EPISODE_PARAMS.update(override)
     if args.filter_count:
         EPISODE_PARAMS["filter_count"] = args.filter_count
 
