@@ -58,6 +58,40 @@ def identity_loss(inputs: jax.Array, identity_mapped: jax.Array) -> jax.Array:
 
 # ---- CUT contrastive (NCE) losses ----
 
+@jax.custom_vjp
+def _tf_softmax_ce(flat_logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-row softmax cross-entropy with TF's FUSED-OP gradient.
+
+    TF's ``SoftmaxCrossEntropyWithLogits`` registers backward
+    ``upstream * (softmax(logits) - labels)`` — the true gradient only when
+    each label row sums to 1.  The reference feeds FLATTENED identity labels
+    (each row sums to P, `gan/wrappers/cut_wrapper.py:371-383`), so the
+    gradient the reference actually trains with is NOT the gradient of the
+    displayed loss (that would be ``P*softmax - labels``).  Autodiffing the
+    value expression diverged the matched-init CUT trajectory at O(1) in the
+    first step (measured, scripts/diag_nce_micro.py); this custom_vjp
+    reproduces the fused op's backward exactly.
+    """
+    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
+    return -(labels * log_probs).sum(axis=-1)
+
+
+def _tf_softmax_ce_fwd(flat_logits, labels):
+    return _tf_softmax_ce(flat_logits, labels), (flat_logits, labels)
+
+
+def _tf_softmax_ce_bwd(res, g):
+    flat_logits, labels = res
+    softmax = jax.nn.softmax(flat_logits, axis=-1)
+    grad_logits = g[..., None] * (softmax - labels)
+    # TF v2 also backprops -log_softmax into labels, but every reference call
+    # site passes a constant identity matrix, so a zero cotangent is exact.
+    return grad_logits, jnp.zeros_like(labels)
+
+
+_tf_softmax_ce.defvjp(_tf_softmax_ce_fwd, _tf_softmax_ce_bwd)
+
+
 def nce_loss(query_feats: jax.Array, key_feats: jax.Array, tau: float) -> jax.Array:
     """Patchwise NCE (reference `_calc_cross_feats` +
     `_contrastive_gen_data_x_loss_impl`, `gan/wrappers/cut_wrapper.py:359-393`).
@@ -66,15 +100,15 @@ def nce_loss(query_feats: jax.Array, key_feats: jax.Array, tau: float) -> jax.Ar
     [P, P] cross-similarities / tau; labels the identity matrix, both
     flattened to length P*P as in the reference (softmax over ALL P*P
     entries, labels summing to P — quirk preserved); reduced by mean over
-    the batch.
+    the batch.  Backward matches TF's fused op, see `_tf_softmax_ce`.
     """
     logits = jnp.einsum("bpe,bqe->bpq", query_feats, key_feats,
                         preferred_element_type=jnp.float32) / tau
     batch, p, q = logits.shape
-    labels = jnp.eye(p, q, dtype=jnp.float32).reshape(1, p * q)
+    labels = jnp.broadcast_to(
+        jnp.eye(p, q, dtype=jnp.float32).reshape(1, p * q), (batch, p * q))
     flat_logits = logits.reshape(batch, p * q)
-    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
-    per_example = -(labels * log_probs).sum(axis=-1)
+    per_example = _tf_softmax_ce(flat_logits, labels)
     return jnp.mean(per_example)
 
 

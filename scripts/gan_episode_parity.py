@@ -67,6 +67,9 @@ _SCOPES = {
                   "disc_y2x": "Model/ModelY2X/Discriminator"},
     "gan_x2y": {"generator": "Model/Generator",
                 "discriminator": "Model/Discriminator"},
+    "cut_x2y": {"gen": "Model/Generator",
+                "disc": "Model/Discriminator",
+                "featd": "Model/FeatDiscriminator"},
 }
 _FC = {"fc1": "fully_connected", "fc2": "fully_connected_1",
        "fc3": "fully_connected_2"}
@@ -82,7 +85,16 @@ def inject_tf_init(params, tf_values, gan_type):
     def fill(path, leaf):
         top, layer, leaf_name = (getattr(k, "key", str(k)) for k in path)
         suffix = {"kernel": "weights", "bias": "biases"}[leaf_name]
-        name = f"{scopes[top]}/{_FC.get(layer, layer)}/{suffix}:0"
+        if top == "featd":
+            # rebuild p{i}_fc{j} <-> TF slim auto-numbering: 4 FCs per
+            # patch group, sequential across groups (shadow_data_models
+            # `:138-147` under one FeatDiscriminator scope entry)
+            group, fc = layer.split("_")
+            n = 4 * int(group[1:]) + int(fc[2:]) - 1
+            tf_layer = "fully_connected" if n == 0 else f"fully_connected_{n}"
+        else:
+            tf_layer = _FC.get(layer, layer)
+        name = f"{scopes[top]}/{tf_layer}/{suffix}:0"
         val = tf_values[name]
         assert val.shape == leaf.shape, (name, val.shape, leaf.shape)
         return jnp.asarray(val)
@@ -136,7 +148,7 @@ def run_rebuild(normal, shadow, idx, val_lit, val_shadow, steps, val_steps,
     normal_d = jnp.asarray(normal)
     shadow_d = jnp.asarray(shadow)
     base_key = jax.random.key(seed + 1)
-    losses_gen, losses_disc = [], []
+    losses_gen, losses_disc, losses_gen_disc = [], [], []
     validations = {}
     t0 = time.time()
     for step in range(steps):
@@ -148,6 +160,9 @@ def run_rebuild(normal, shadow, idx, val_lit, val_shadow, steps, val_steps,
         if step < trajectory_steps:
             losses_gen.append(float(metrics["generator_loss"]))
             losses_disc.append(float(metrics["discriminator_loss"]))
+            if "gen_discriminator_loss" in metrics:
+                losses_gen_disc.append(
+                    float(metrics["gen_discriminator_loss"]))
         it = step + 1
         if it % val_steps == 0 or it == steps:
             params = jax.device_get(state.params)
@@ -160,7 +175,7 @@ def run_rebuild(normal, shadow, idx, val_lit, val_shadow, steps, val_steps,
             print(f"[rebuild] step {it}: gen_loss="
                   f"{float(metrics['generator_loss']):.4f} "
                   f"({it / (time.time() - t0):.1f} steps/s)", flush=True)
-    return losses_gen, losses_disc, validations
+    return losses_gen, losses_disc, losses_gen_disc, validations
 
 
 def divergence_trajectory(validations, originals_lit, originals_shadow,
@@ -187,7 +202,7 @@ def divergence_trajectory(validations, originals_lit, originals_shadow,
 
 def run_tf_side(tmp, tag, normal, shadow, idx, val_lit, val_shadow, steps,
                 val_steps, seed, batch_mode, trajectory_steps=0,
-                dump_init=False, gan_type="cycle_gan"):
+                dump_init=False, gan_type="cycle_gan", perturb_init=False):
     data_npz = os.path.join(tmp, f"data_{tag}.npz")
     np.savez(data_npz, normal=normal, shadow=shadow, idx=idx,
              val_lit=val_lit, val_shadow=val_shadow)
@@ -203,6 +218,8 @@ def run_tf_side(tmp, tag, normal, shadow, idx, val_lit, val_shadow, steps,
            "--trajectory_steps", str(trajectory_steps)]
     if dump_init:
         cmd += ["--dump_init", init_npz]
+    if perturb_init:
+        cmd += ["--perturb_init"]
     proc = subprocess.run(cmd, cwd=REPO, text=True)
     if proc.returncode != 0:
         raise RuntimeError(f"reference TF side failed for {tag}")
@@ -225,10 +242,11 @@ def main(argv=None) -> int:
     p.add_argument("--bands", type=int, default=24)
     p.add_argument("--classes", type=int, default=6)
     p.add_argument("--scene_seed", type=int, default=11)
-    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y"),
+    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y", "cut_x2y"),
                    default="cycle_gan",
                    help="family to compare (gan_x2y = vanilla wasserstein "
-                        "GAN, single direction)")
+                        "GAN, single direction; cut_x2y = contrastive "
+                        "NCE with the feature discriminator)")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--validation_steps", type=int, default=200)
@@ -252,6 +270,9 @@ def main(argv=None) -> int:
     n_pairs = normal.shape[0]
     directions = (("shadowed", "deshadowed") if args.gan_type == "cycle_gan"
                   else ("shadowed",))
+    # tfgan sequential hooks each consume a tf.data batch: 2/iteration for
+    # G+D families, 3 for CUT (G, D, featD)
+    rows_per_step = 3 if args.gan_type == "cut_x2y" else 2
     report = {"scene": spec, "pairs": n_pairs, "gan_type": args.gan_type,
               "config": GAN_CONFIG, "steps": args.steps, "batch": args.batch}
 
@@ -260,14 +281,19 @@ def main(argv=None) -> int:
             print("== phase 1: matched-init loss trajectory ==", flush=True)
             rng = np.random.default_rng(5150)
             idx = rng.integers(0, n_pairs,
-                               (2 * args.traj_steps, args.traj_batch))
+                               (rows_per_step * args.traj_steps,
+                                args.traj_batch))
             idx = idx.astype(np.int32)
+            # CUT: the zero-init generator is a sign-ill-conditioned saddle
+            # for the featD first update (see --perturb_init in
+            # gan_parity_tf.py) — matched trajectories start off-saddle
             tf_rep, _, init_values = run_tf_side(
                 tmp, "traj", normal, shadow, idx, val_lit, val_shadow,
                 steps=args.traj_steps, val_steps=args.traj_steps, seed=1234,
                 batch_mode="matched", trajectory_steps=args.traj_steps,
-                dump_init=True, gan_type=args.gan_type)
-            lg, ld, _ = run_rebuild(
+                dump_init=True, gan_type=args.gan_type,
+                perturb_init=(args.gan_type == "cut_x2y"))
+            lg, ld, lgd, _ = run_rebuild(
                 normal, shadow, idx, val_lit, val_shadow,
                 steps=args.traj_steps, val_steps=args.traj_steps, seed=1234,
                 init_values=init_values, trajectory_steps=args.traj_steps,
@@ -276,6 +302,9 @@ def main(argv=None) -> int:
                          zip(tf_rep["trajectory_gen_loss"], lg)]
             disc_delta = [abs(a - b) for a, b in
                           zip(tf_rep["trajectory_disc_loss"], ld)]
+            gen_disc_delta = [abs(a - b) for a, b in
+                              zip(tf_rep.get("trajectory_gen_disc_loss", []),
+                                  lgd)]
             report["trajectory"] = {
                 "steps": args.traj_steps, "batch": args.traj_batch,
                 "reference_gen_loss": tf_rep["trajectory_gen_loss"],
@@ -284,8 +313,15 @@ def main(argv=None) -> int:
                 "rebuild_disc_loss": ld,
                 "max_abs_gen_delta": max(gen_delta),
                 "max_abs_disc_delta": max(disc_delta),
-                "ok": bool(max(gen_delta + disc_delta) < 5e-3),
+                "ok": bool(max(gen_delta + disc_delta + gen_disc_delta)
+                           < 5e-3),
             }
+            if gen_disc_delta:
+                report["trajectory"]["reference_gen_disc_loss"] = \
+                    tf_rep["trajectory_gen_disc_loss"]
+                report["trajectory"]["rebuild_gen_disc_loss"] = lgd
+                report["trajectory"]["max_abs_gen_disc_delta"] = \
+                    max(gen_disc_delta)
             print(json.dumps(report["trajectory"], indent=2), flush=True)
 
         if not args.skip_statistical:
@@ -294,15 +330,16 @@ def main(argv=None) -> int:
             per_seed = []
             for seed in seeds:
                 rng = np.random.default_rng(seed)
-                idx = rng.integers(0, n_pairs,
-                                   (2 * args.steps, args.batch)).astype(np.int32)
+                idx = rng.integers(
+                    0, n_pairs,
+                    (rows_per_step * args.steps, args.batch)).astype(np.int32)
                 _, tf_vals, _ = run_tf_side(
                     tmp, f"s{seed}", normal, shadow, idx, val_lit, val_shadow,
                     steps=args.steps, val_steps=args.validation_steps,
                     seed=seed, batch_mode="ref", gan_type=args.gan_type)
                 tf_traj = divergence_trajectory(tf_vals, val_lit, val_shadow,
                                                 shadow_ratio)
-                _, _, reb_vals = run_rebuild(
+                _, _, _, reb_vals = run_rebuild(
                     normal, shadow, idx, val_lit, val_shadow,
                     steps=args.steps, val_steps=args.validation_steps,
                     seed=seed, gan_type=args.gan_type)

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help="npz with normal/shadow/idx/val_lit/val_shadow")
-    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y"),
+    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y", "cut_x2y"),
                    default="cycle_gan")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--validation_steps", type=int, default=200)
@@ -47,6 +47,24 @@ def main(argv=None) -> None:
                    help="record per-step losses for the first N steps")
     p.add_argument("--dump_init", default=None,
                    help="npz path: dump initial variable values")
+    p.add_argument("--dump_final", default=None,
+                   help="npz path: dump final variable values (per-tensor "
+                        "update-divergence diagnostics)")
+    p.add_argument("--dump_grads", default=None,
+                   help="npz path: dump d(loss)/d(vars) for each sub-loss "
+                        "at the initial weights on the first batch "
+                        "(gradient-parity diagnostics; cut_x2y only)")
+    p.add_argument("--perturb_init", action="store_true",
+                   help="replace the generator's all-zero initial weights "
+                        "with small N(0, 0.02) values before training/"
+                        "dumping.  The CUT families are sign-ILL-CONDITIONED "
+                        "at the zero-init saddle: G(x)==0 exactly, so the "
+                        "feature-discriminator's first-update direction is "
+                        "decided by fp-noise-scale quantities amplified by "
+                        "the global l2_normalize's rsqrt(max(.,1e-12)) — "
+                        "any two implementations (or hardware) flip signs "
+                        "differently.  Matched-trajectory comparisons must "
+                        "start off the saddle to be meaningful.")
     p.add_argument("--out", required=True)
     p.add_argument("--dump_generated", default=None,
                    help="npz path: generated validation arrays per cadence")
@@ -60,6 +78,13 @@ def main(argv=None) -> None:
     p.add_argument("--generator_lr", type=float, default=2e-4)
     p.add_argument("--discriminator_lr", type=float, default=1e-4)
     p.add_argument("--disc_reg_scale", type=float, default=1e-5)
+    # CUT family (reference gan/gan_train_for_shadow.py:42-64 defaults)
+    p.add_argument("--nce_weight", type=float, default=10.0)
+    p.add_argument("--tau", type=float, default=0.07)
+    p.add_argument("--patches", type=int, default=6)
+    p.add_argument("--embedded_feat_size", type=int, default=2)
+    p.add_argument("--gen_disc_reg_scale", type=float, default=1e-4)
+    p.add_argument("--gen_discriminator_lr", type=float, default=1e-4)
     args = p.parse_args(argv)
 
     from measure_tf_reference import install_dependency_shims
@@ -83,8 +108,11 @@ def main(argv=None) -> None:
         est.SessionRunHook = v1.train.SessionRunHook
         tf.estimator = est
 
-    from gan.shadow_data_models import (shadowdata_discriminator_model,
-                                        shadowdata_generator_model)
+    from gan.shadow_data_models import (
+        shadowdata_discriminator_model,
+        shadowdata_feature_discriminator_model,
+        shadowdata_generator_model)
+    from gan.wrappers.cut_wrapper import CUTInferenceWrapper, CUTWrapper
     from gan.wrappers.cycle_gan_wrapper import (CycleGANInferenceWrapper,
                                                 CycleGANWrapper)
     from gan.wrappers.gan_wrapper import GANInferenceWrapper, GANWrapper
@@ -113,16 +141,33 @@ def main(argv=None) -> None:
                 identity_loss_weight=args.identity_weight,
                 use_identity_loss=True,
                 generator_fn=gen_fn, discriminator_fn=disc_fn)
+        elif args.gan_type == "cut_x2y":
+            # CUT binds create_only_encoder itself (cut_wrapper.py:301-336)
+            cut_gen_fn = partial(shadowdata_generator_model, is_training=True)
+            feat_fn = partial(shadowdata_feature_discriminator_model,
+                              embedded_feature_size=args.embedded_feat_size,
+                              patch_count=args.patches, is_training=True,
+                              scale=args.gen_disc_reg_scale)
+            wrapper = CUTWrapper(nce_loss_weight=args.nce_weight,
+                                 identity_loss_weight=args.identity_weight,
+                                 use_identity_loss=True, tau=args.tau,
+                                 batch_size=batch, swap_inputs=False,
+                                 generator_fn=cut_gen_fn,
+                                 discriminator_fn=disc_fn,
+                                 feat_discriminator_fn=feat_fn)
         else:
             wrapper = GANWrapper(identity_loss_weight=args.identity_weight,
                                  use_identity_loss=True, swap_inputs=False,
                                  generator_fn=gen_fn, discriminator_fn=disc_fn)
         model = wrapper.define_model(x_ph, y_ph)
         loss = wrapper.define_loss(model)
+        train_kwargs = {"generator_lr": args.generator_lr,
+                        "discriminator_lr": args.discriminator_lr}
+        if args.gan_type == "cut_x2y":
+            train_kwargs["gen_discriminator_lr"] = args.gen_discriminator_lr
         train_ops = wrapper.define_train_ops(
-            model, loss, max_number_of_steps=args.steps,
-            generator_lr=args.generator_lr,
-            discriminator_lr=args.discriminator_lr)
+            model, loss, max_number_of_steps=args.steps, **train_kwargs)
+        gen_disc_loss_t = None
         if args.gan_type == "cycle_gan":
             gen_loss_t = (loss.loss_x2y.generator_loss
                           + loss.loss_y2x.generator_loss)
@@ -131,6 +176,21 @@ def main(argv=None) -> None:
         else:
             gen_loss_t = loss.generator_loss
             disc_loss_t = loss.discriminator_loss
+            if args.gan_type == "cut_x2y":
+                gen_disc_loss_t = loss.gen_discriminator_loss
+                # variable-sharing sanity: the 4 encoder/featD applications
+                # must REUSE, not re-create (AUTO_REUSE + name-scope-local
+                # default_name numbering, cut_wrapper.py:297-336)
+                n_gen = len(model.generator_variables)
+                n_featd = len(model.feat_discriminator_gen_data_variables)
+                assert n_gen == 14, f"generator var sharing broke: {n_gen}"
+                # group count is BAND-dependent: range(0, bands, bands//P)
+                # yields more than P groups when bands % P != 0
+                # (shadow_data_models.py:136-141 quirk, mirrored in the
+                # rebuild's FeatureDiscriminator)
+                n_groups = len(range(0, bands, bands // args.patches))
+                assert n_featd == n_groups * 8, \
+                    f"featD var sharing broke: {n_featd} != {n_groups * 8}"
 
         infer_gen_fn = partial(shadowdata_generator_model,
                                create_only_encoder=False, is_training=False)
@@ -143,39 +203,76 @@ def main(argv=None) -> None:
             deshadow_out = infer.construct_inference_graph(
                 vy, is_shadow_graph=False, clip_invalid_values=False)
         else:  # single x2y generator: shadow direction only
-            infer = GANInferenceWrapper(fetch_shadows=False,
-                                        shadow_generator_fn=infer_gen_fn)
+            infer_cls = (CUTInferenceWrapper if args.gan_type == "cut_x2y"
+                         else GANInferenceWrapper)
+            infer = infer_cls(fetch_shadows=False,
+                              shadow_generator_fn=infer_gen_fn)
             shadow_out = infer.construct_inference_graph(
                 vx, is_shadow_graph=True, clip_invalid_values=False)
             deshadow_out = None
 
+        grad_fetches = {}
+        if args.dump_grads:
+            for loss_t, variables, tag in (
+                    (loss.generator_loss, model.generator_variables, "gen"),
+                    (loss.discriminator_loss, model.discriminator_variables,
+                     "disc"),
+                    (loss.gen_discriminator_loss,
+                     model.feat_discriminator_gen_data_variables, "featd")):
+                for v, g in zip(variables, tf.gradients(loss_t, variables)):
+                    grad_fetches[f"{tag}|{v.name}"] = (
+                        tf.zeros_like(v) if g is None else g)
+
         init_op = v1.global_variables_initializer()
         var_list = v1.global_variables()
 
-    losses_gen, losses_disc = [], []
+    losses_gen, losses_disc, losses_gen_disc = [], [], []
+    runs_per_step = 3 if args.gan_type == "cut_x2y" else 2
     validations = {}
     with v1.Session(graph=graph) as sess:
         sess.run(init_op)
+        if args.perturb_init:
+            prng = np.random.default_rng(args.run_seed)
+            for v in var_list:
+                if "/Generator/" in v.name and v.name.endswith("weights:0"):
+                    shape = [int(d) for d in v.get_shape()]
+                    v.load(prng.normal(0.0, 0.02, shape).astype(np.float32),
+                           sess)
         if args.dump_init:
             np.savez(args.dump_init,
                      **{v.name: sess.run(v) for v in var_list})
+        if args.dump_grads:
+            g_row0 = idx[0]
+            np.savez(args.dump_grads, **sess.run(
+                grad_fetches, {x_ph: normal[g_row0], y_ph: shadow[g_row0]}))
         consumed = 0
         for step in range(args.steps):
             if args.batch_mode == "ref":
-                g_row, d_row = idx[consumed], idx[consumed + 1]
-                consumed += 2
+                # each sequential hook's session.run advances the tf.data
+                # iterator in the real runtime: 2 batches/iteration for
+                # G+D families, 3 for CUT (G, D, featD hooks)
+                rows = idx[consumed:consumed + runs_per_step]
+                consumed += runs_per_step
             else:
-                g_row = d_row = idx[step]
+                rows = [idx[step]] * runs_per_step
+            g_row, d_row = rows[0], rows[1]
             _, gl = sess.run(
                 [train_ops.generator_train_op, gen_loss_t],
                 {x_ph: normal[g_row], y_ph: shadow[g_row]})
             _, dl = sess.run(
                 [train_ops.discriminator_train_op, disc_loss_t],
                 {x_ph: normal[d_row], y_ph: shadow[d_row]})
+            gdl = None
+            if runs_per_step == 3:
+                _, gdl = sess.run(
+                    [train_ops.gen_discriminator_train_op, gen_disc_loss_t],
+                    {x_ph: normal[rows[2]], y_ph: shadow[rows[2]]})
             sess.run(train_ops.global_step_inc_op)
             if step < args.trajectory_steps:
                 losses_gen.append(float(gl))
                 losses_disc.append(float(dl))
+                if gdl is not None:
+                    losses_gen_disc.append(float(gdl))
             it = step + 1
             if it % args.validation_steps == 0 or it == args.steps:
                 gen_shadow = sess.run(shadow_out, {vx: val_lit})
@@ -184,6 +281,9 @@ def main(argv=None) -> None:
                 validations[str(it)] = (gen_shadow, gen_deshadow)
                 print(f"[tf] step {it}: gen_loss={float(gl):.4f} "
                       f"disc_loss={float(dl):.4f}", flush=True)
+        if args.dump_final:
+            np.savez(args.dump_final,
+                     **{v.name: sess.run(v) for v in var_list})
         if args.save_ckpt:
             with graph.as_default():
                 saver = v1.train.Saver()
@@ -208,6 +308,7 @@ def main(argv=None) -> None:
         "validation_iterations": sorted(int(k) for k in validations),
         "trajectory_gen_loss": losses_gen,
         "trajectory_disc_loss": losses_disc,
+        "trajectory_gen_disc_loss": losses_gen_disc,
     }
     with open(args.out, "w") as fid:
         json.dump(report, fid, indent=2)

@@ -311,18 +311,36 @@ def get_model_variables():
     return v1.get_collection(v1.GraphKeys.TRAINABLE_VARIABLES)
 
 
-def get_trainable_variables():
-    return v1.get_collection(v1.GraphKeys.TRAINABLE_VARIABLES)
+def get_trainable_variables(scope=None):
+    """Optionally scope-filtered (a VariableScope or name prefix — the CUT
+    wrapper passes scopes, `cut_wrapper.py:344-346`)."""
+    variables = v1.get_collection(v1.GraphKeys.TRAINABLE_VARIABLES)
+    if scope is None:
+        return variables
+    prefix = getattr(scope, "name", scope)
+    return [v for v in variables if v.name.startswith(prefix + "/")
+            or v.name.startswith(prefix + ":")]
 
 
-def create_train_op(total_loss, optimizer, global_step=None, **kwargs):
-    """tf_slim.learning.create_train_op: minimize under UPDATE_OPS deps."""
+_USE_GLOBAL_STEP = object()  # tf_slim's sentinel: None means NO increment
+
+
+def create_train_op(total_loss, optimizer, global_step=_USE_GLOBAL_STEP,
+                    variables_to_train=None, update_ops=None, **kwargs):
+    """tf_slim.learning.create_train_op: minimize under UPDATE_OPS deps.
+
+    ``global_step=None`` EXPLICITLY disables the step increment (real
+    tf_slim uses a sentinel default the same way) — tfgan's cut_train_ops
+    relies on this so the three sequential sub-updates don't each advance
+    the LR-decay step (`cut_wrapper.py:533-583`)."""
     del kwargs
-    if global_step is None:
+    if global_step is _USE_GLOBAL_STEP:
         global_step = v1.train.get_or_create_global_step()
-    update_ops = v1.get_collection(v1.GraphKeys.UPDATE_OPS)
-    with tf.control_dependencies(update_ops or None):
-        return optimizer.minimize(total_loss, global_step=global_step)
+    if update_ops is None:
+        update_ops = v1.get_collection(v1.GraphKeys.UPDATE_OPS)
+    with tf.control_dependencies(list(update_ops) or None):
+        return optimizer.minimize(total_loss, global_step=global_step,
+                                  var_list=variables_to_train)
 
 
 def cohen_kappa(labels, predictions_idx, num_classes, name=None):

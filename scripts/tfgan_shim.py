@@ -204,6 +204,49 @@ def cycle_consistency_loss(model, add_summaries=False, **kwargs):
     return loss
 
 
+def args_to_gan_model(loss_fn):
+    """tfgan ``tuple_losses.args_to_gan_model``: lift an args-style loss fn
+    (parameters named after model fields) to a fn of ``(gan_model, **kwargs)``.
+    Model fields fill matching parameters; explicit kwargs win for
+    non-field parameters (the reference binds ``tau``/``batch_size`` via
+    functools.partial over the lifted fn, `cut_wrapper.py:393,626-636`)."""
+    import inspect as _inspect
+
+    spec = _inspect.getfullargspec(loss_fn)
+    n_defaults = len(spec.defaults or ())
+    required = spec.args[:len(spec.args) - n_defaults]
+
+    def new_loss_fn(gan_model, **kwargs):
+        from_model = {a: getattr(gan_model, a) for a in spec.args
+                      if a not in kwargs and hasattr(gan_model, a)}
+        missing = [a for a in required
+                   if a not in from_model and a not in kwargs]
+        if missing:
+            raise ValueError(
+                f"`{loss_fn.__name__}` requires {missing}: not fields of "
+                f"{type(gan_model).__name__} and not passed as kwargs")
+        passed = {k: v for k, v in kwargs.items()
+                  if k in spec.args or spec.varkw is not None}
+        return loss_fn(**from_model, **passed)
+
+    new_loss_fn.__name__ = loss_fn.__name__
+    return new_loss_fn
+
+
+tuple_losses.args_to_gan_model = args_to_gan_model
+
+
+def _convert_tensor_or_l_or_d(tensor_or_l_or_d):
+    """tfgan ``train._convert_tensor_or_l_or_d``: convert a tensor, list of
+    tensors, or dict of tensors with ``convert_to_tensor``."""
+    if isinstance(tensor_or_l_or_d, (list, tuple)):
+        return [tf.convert_to_tensor(x) for x in tensor_or_l_or_d]
+    if isinstance(tensor_or_l_or_d, dict):
+        return {k: tf.convert_to_tensor(v)
+                for k, v in tensor_or_l_or_d.items()}
+    return tf.convert_to_tensor(tensor_or_l_or_d)
+
+
 def _validate_aux_loss_weight(aux_loss_weight, name="aux_loss_weight"):
     if isinstance(aux_loss_weight, (int, float)) and aux_loss_weight < 0:
         raise ValueError(f"`{name}` must be greater than 0. Instead, was "
@@ -338,8 +381,22 @@ def get_sequential_train_hooks(train_steps=GANTrainSteps(1, 1)):
 
 def install():
     """Register this module as ``tensorflow_gan`` (+submodules)."""
+    import inspect
     import sys
     import types
+
+    if not hasattr(inspect, "getargspec"):
+        # Python 3.11 removed inspect.getargspec; the reference's cut_wrapper
+        # calls it directly (`cut_wrapper.py:185-193`).  Provide the legacy
+        # 4-field view (args/varargs/keywords/defaults) over getfullargspec.
+        _ArgSpec = collections.namedtuple(
+            "ArgSpec", ["args", "varargs", "keywords", "defaults"])
+
+        def _getargspec(fn):
+            fs = inspect.getfullargspec(fn)
+            return _ArgSpec(fs.args, fs.varargs, fs.varkw, fs.defaults)
+
+        inspect.getargspec = _getargspec
 
     module = sys.modules[__name__]
     sys.modules["tensorflow_gan"] = module
@@ -353,8 +410,10 @@ def install():
     losses_mod.tuple_losses = tuple_losses
     train_mod = types.ModuleType("tensorflow_gan.python.train")
     train_mod._validate_aux_loss_weight = _validate_aux_loss_weight
+    train_mod._convert_tensor_or_l_or_d = _convert_tensor_or_l_or_d
     train_mod.gan_loss = gan_loss
     train_mod.gan_train_ops = gan_train_ops
+    train_mod.RunTrainOpsHook = RunTrainOpsHook
 
     python.namedtuples = namedtuples
     python.losses = losses_mod

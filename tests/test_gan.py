@@ -82,6 +82,53 @@ class TestLosses:
         shuffled = float(nce_loss(q, jnp.roll(q, 1, axis=1), tau=0.07))
         assert aligned < shuffled
 
+    def test_nce_gradient_matches_tf_fused_op(self):
+        """TF's SoftmaxCrossEntropyWithLogits hardcodes backward
+        ``softmax - labels`` even for the reference's flattened identity
+        labels (which sum to P, not 1) — so the gradient the reference
+        trains with is NOT the autodiff gradient of the loss value.
+        Golden values from tf.gradients on TF 2.x (see
+        hypelcnn_tpu/gan/losses.py `_tf_softmax_ce`); autodiffing the value
+        expression instead gives max|delta| ~ 2 on this input.
+        """
+        q_in = jnp.asarray([
+            [[0.304717093706131, -1.039984107017517],
+             [0.7504512071609497, 0.9405646920204163],
+             [-1.9510351419448853, -1.3021794557571411]],
+            [[0.12784039974212646, -0.31624260544776917],
+             [-0.01680115796625614, -0.8530439138412476],
+             [0.879397988319397, 0.7777919173240662]]], jnp.float32)
+        k_in = jnp.asarray([
+            [[0.06603069603443146, 1.1272412538528442],
+             [0.46750932931900024, -0.8592924475669861],
+             [0.36875078082084656, -0.9588826298713684]],
+            [[0.8784502744674683, -0.04992591217160225],
+             [-0.18486236035823822, -0.6809295415878296],
+             [1.222541332244873, -0.15452948212623596]]], jnp.float32)
+        tf_loss = 41.40254211425781
+        tf_grad_q = np.asarray([
+            [[1.1443290710449219, -11.875170707702637],
+             [-3.1383323669433594, 9.56950855255127],
+             [-2.6336498260498047, 6.848425388336182]],
+            [[-6.27443790435791, 0.35650214552879333],
+             [1.3142067193984985, 4.840577602386475],
+             [-0.14161643385887146, 0.035571884363889694]]], np.float32)
+        tf_grad_k = np.asarray([
+            [[0.10807792097330093, 10.29185676574707],
+             [-5.036624908447266, -7.823290824890137],
+             [14.859378814697266, 6.1436591148376465]],
+            [[-0.6588402986526489, 2.483766555786133],
+             [0.11945193260908127, 6.0640692710876465],
+             [-0.28457388281822205, -0.2517927289009094]]], np.float32)
+
+        loss, (gq, gk) = jax.value_and_grad(
+            lambda a, b: nce_loss(a, b, tau=0.07), argnums=(0, 1))(q_in, k_in)
+        np.testing.assert_allclose(float(loss), tf_loss, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gq), tf_grad_q, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk), tf_grad_k, rtol=1e-4,
+                                   atol=1e-5)
+
 
 class TestPool:
     def test_fill_phase_passthrough(self):
