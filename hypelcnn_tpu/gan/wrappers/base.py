@@ -34,7 +34,8 @@ def gan_lr_schedule(base_lr: float, max_steps: int) -> Callable:
 
 
 def gan_adam(base_lr: float, max_steps: int, b1: float = 0.5, b2: float = 0.999,
-             eps: float = 1e-8) -> optax.GradientTransformation:
+             eps: float = 1e-8, t_stride: int = 1,
+             t_phase: int = 1) -> optax.GradientTransformation:
     """Adam with TF's exact update formulation:
 
     ``p -= lr * sqrt(1 - b2^t) / (1 - b1^t) * m_t / (sqrt(v_t) + eps)``
@@ -47,7 +48,18 @@ def gan_adam(base_lr: float, max_steps: int, b1: float = 0.5, b2: float = 0.999,
     step but visibly shifts early-step trajectories from a zero-init
     generator (measured in the two-sided GAN parity experiment,
     scripts/gan_episode_parity.py), so the TF placement is authoritative
-    here."""
+    here.
+
+    ``t_stride``/``t_phase`` set the bias-correction exponent to
+    ``t = t_stride*k + t_phase`` at the k-th update (k = 0, 1, ...), while
+    the LR-decay schedule still sees k.  The DCL families need this:
+    the reference shares ONE ``AdamOptimizer`` instance between the x2y and
+    y2x train ops (`dcl_gan_wrapper.py:287-289`), so the instance's
+    beta1/beta2 power accumulators advance TWICE per iteration and the x2y
+    updates run with t = 2k+1 while y2x runs with t = 2k+2 (a ~6% smaller
+    first step for y2x).  Measured: with stride 1 the matched-init DCL
+    trajectory diverges in the y2x components from the very first update
+    while every x2y component stays exact."""
     schedule = gan_lr_schedule(base_lr, max_steps)
 
     def init(params):
@@ -63,7 +75,7 @@ def gan_adam(base_lr: float, max_steps: int, b1: float = 0.5, b2: float = 0.999,
         nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
                                     state.nu, grads)
         count = state.count + 1
-        c = count.astype(jnp.float32)
+        c = (t_stride * state.count + t_phase).astype(jnp.float32)
         lr_t = (schedule(state.count)
                 * jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c))
         updates = jax.tree_util.tree_map(

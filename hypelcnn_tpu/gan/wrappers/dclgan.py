@@ -50,11 +50,23 @@ class DCLGANTrainer(GANTrainerBase):
             band_size=band_count,
             patch_count=config.get("patches", 6),
             embedded_feature_size=config.get("embedded_feat_size", 2))
-        self.txs = {"gen": gan_adam(config.get("generator_lr", 2e-4), max_steps),
-                    "disc": gan_adam(config.get("discriminator_lr", 1e-4), max_steps),
-                    "featd": gan_adam(config.get("gen_discriminator_lr", 1e-4), max_steps)}
+        lrs = {"gen": config.get("generator_lr", 2e-4),
+               "disc": config.get("discriminator_lr", 1e-4),
+               "featd": config.get("gen_discriminator_lr", 1e-4)}
+        # The reference shares ONE AdamOptimizer instance per role between
+        # the x2y and y2x train ops (`dcl_gan_wrapper.py:287-289`): slots are
+        # per-variable, but the instance's beta-power accumulators advance
+        # on EVERY apply_gradients, so x2y updates see bias-correction
+        # t = 2k+1 and y2x sees t = 2k+2 (see gan_adam's docstring).
+        self.txs = {k: gan_adam(lr, max_steps, t_stride=2, t_phase=1)
+                    for k, lr in lrs.items()}
+        self._txs_y2x = {k: gan_adam(lr, max_steps, t_stride=2, t_phase=2)
+                         for k, lr in lrs.items()}
         self._substep = make_cut_substeps(self.generator, self.discriminator,
                                           self.feat_discriminator, config, self.txs)
+        self._substep_y2x = make_cut_substeps(
+            self.generator, self.discriminator, self.feat_discriminator,
+            config, self._txs_y2x)
 
     def init_state(self, key: jax.Array) -> GANState:
         k1, k2 = jax.random.split(key)
@@ -73,15 +85,18 @@ class DCLGANTrainer(GANTrainerBase):
             del key
             p_x2y, o_x2y, m_x2y = self._substep(state.params["x2y"],
                                                 state.opt_states["x2y"], x, y)
-            p_y2x, o_y2x, m_y2x = self._substep(state.params["y2x"],
-                                                state.opt_states["y2x"], y, x)
+            p_y2x, o_y2x, m_y2x = self._substep_y2x(state.params["y2x"],
+                                                    state.opt_states["y2x"], y, x)
             metrics = {f"x2y_{k}": v for k, v in m_x2y.items()}
             metrics.update({f"y2x_{k}": v for k, v in m_y2x.items()})
-            # every trainer exposes an unprefixed "generator_loss" (the
-            # training loop's scan output keys on it); for DCL it is the sum
-            # over the two independent units
-            metrics["generator_loss"] = (m_x2y["generator_loss"]
-                                         + m_y2x["generator_loss"])
+            # every trainer exposes unprefixed losses (the training loop's
+            # scan output and the parity harness key on them); for DCL each
+            # is the sum over the two independent units, matching the
+            # reference's per-direction tensors summed at their own
+            # sequential-hook evaluation points
+            for k in ("generator_loss", "discriminator_loss",
+                      "gen_discriminator_loss"):
+                metrics[k] = m_x2y[k] + m_y2x[k]
             return GANState(step=state.step + 1,
                             params={"x2y": p_x2y, "y2x": p_y2x},
                             opt_states={"x2y": o_x2y, "y2x": o_y2x},
@@ -103,12 +118,12 @@ class DCLCycleGANTrainer(DCLGANTrainer):
         self.cycle_weight = config.get("cycle_consistency_loss_weight", 10.0)
 
     def init_state(self, key: jax.Array) -> GANState:
-        # NOTE on resume: GAN checkpoints persist PARAMS ONLY
-        # (`apps/gan_train_for_shadow.py` save_params_pytree), so adding
-        # opt_states["cycle_gen"] here cannot break restoring an older
-        # checkpoint.  If full-state GAN checkpointing is ever added, its
-        # restore must reinitialize a missing "cycle_gen" from
-        # ``self.txs["gen"].init`` for fix-enabled runs.
+        # NOTE on resume: GAN training checkpoints the FULL GANState
+        # (`apps/gan_train_for_shadow.py` save_checkpoint) with a template
+        # from this init_state, so fix-enabled runs round-trip their
+        # "cycle_gen" slots.  The one unsupported transition is toggling
+        # ``apply_cycle_loss_fix`` across a resume (the saved opt_states
+        # tree no longer matches the template) — start a fresh log dir.
         state = super().init_state(key)
         if self.apply_cycle_loss_fix:
             # the extra cycle update gets its OWN optimizer state: reusing

@@ -70,7 +70,16 @@ _SCOPES = {
     "cut_x2y": {"gen": "Model/Generator",
                 "disc": "Model/Discriminator",
                 "featd": "Model/FeatDiscriminator"},
+    # DCL families: two CUT units under ModelX2Y / ModelY2X
+    # (dcl_gan_wrapper.py:44-68); rebuild tree {"x2y": {gen,disc,featd}, ...}
+    "dcl_gan": {"x2y": {"gen": "Model/ModelX2Y/Generator",
+                        "disc": "Model/ModelX2Y/Discriminator",
+                        "featd": "Model/ModelX2Y/FeatDiscriminator"},
+                "y2x": {"gen": "Model/ModelY2X/Generator",
+                        "disc": "Model/ModelY2X/Discriminator",
+                        "featd": "Model/ModelY2X/FeatDiscriminator"}},
 }
+_SCOPES["dcl_cycle_gan"] = _SCOPES["dcl_gan"]
 _FC = {"fc1": "fully_connected", "fc2": "fully_connected_1",
        "fc3": "fully_connected_2"}
 
@@ -83,7 +92,13 @@ def inject_tf_init(params, tf_values, gan_type):
     scopes = _SCOPES[gan_type]
 
     def fill(path, leaf):
-        top, layer, leaf_name = (getattr(k, "key", str(k)) for k in path)
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if len(keys) == 4:  # DCL families: (unit, net, layer, leaf)
+            unit, top, layer, leaf_name = keys
+            scope_map = scopes[unit]
+        else:
+            top, layer, leaf_name = keys
+            scope_map = scopes
         suffix = {"kernel": "weights", "bias": "biases"}[leaf_name]
         if top == "featd":
             # rebuild p{i}_fc{j} <-> TF slim auto-numbering: 4 FCs per
@@ -94,7 +109,7 @@ def inject_tf_init(params, tf_values, gan_type):
             tf_layer = "fully_connected" if n == 0 else f"fully_connected_{n}"
         else:
             tf_layer = _FC.get(layer, layer)
-        name = f"{scopes[top]}/{tf_layer}/{suffix}:0"
+        name = f"{scope_map[top]}/{tf_layer}/{suffix}:0"
         val = tf_values[name]
         assert val.shape == leaf.shape, (name, val.shape, leaf.shape)
         return jnp.asarray(val)
@@ -170,7 +185,8 @@ def run_rebuild(normal, shadow, idx, val_lit, val_shadow, steps, val_steps,
                 params, jnp.asarray(val_lit), True))
             gen_deshadow = (np.asarray(trainer.translate(
                 params, jnp.asarray(val_shadow), False))
-                if gan_type == "cycle_gan" else None)
+                if gan_type in ("cycle_gan", "dcl_gan", "dcl_cycle_gan")
+                else None)
             validations[str(it)] = (gen_shadow, gen_deshadow)
             print(f"[rebuild] step {it}: gen_loss="
                   f"{float(metrics['generator_loss']):.4f} "
@@ -242,11 +258,16 @@ def main(argv=None) -> int:
     p.add_argument("--bands", type=int, default=24)
     p.add_argument("--classes", type=int, default=6)
     p.add_argument("--scene_seed", type=int, default=11)
-    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y", "cut_x2y"),
+    p.add_argument("--gan_type",
+                   choices=("cycle_gan", "gan_x2y", "cut_x2y", "dcl_gan",
+                            "dcl_cycle_gan"),
                    default="cycle_gan",
                    help="family to compare (gan_x2y = vanilla wasserstein "
                         "GAN, single direction; cut_x2y = contrastive "
-                        "NCE with the feature discriminator)")
+                        "NCE with the feature discriminator; dcl_gan / "
+                        "dcl_cycle_gan = two CUT units x2y+y2x, the "
+                        "cycle variant exercising the discarded-_replace "
+                        "coupling quirk two-sided)")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--validation_steps", type=int, default=200)
@@ -268,11 +289,13 @@ def main(argv=None) -> int:
 
     spec, normal, shadow, val_lit, val_shadow, shadow_ratio = build_shared(args)
     n_pairs = normal.shape[0]
-    directions = (("shadowed", "deshadowed") if args.gan_type == "cycle_gan"
+    bidirectional = args.gan_type in ("cycle_gan", "dcl_gan", "dcl_cycle_gan")
+    directions = (("shadowed", "deshadowed") if bidirectional
                   else ("shadowed",))
     # tfgan sequential hooks each consume a tf.data batch: 2/iteration for
-    # G+D families, 3 for CUT (G, D, featD)
-    rows_per_step = 3 if args.gan_type == "cut_x2y" else 2
+    # G+D families, 3 for CUT (G, D, featD), 6 for DCL (x2y then y2x)
+    rows_per_step = {"cut_x2y": 3, "dcl_gan": 6,
+                     "dcl_cycle_gan": 6}.get(args.gan_type, 2)
     report = {"scene": spec, "pairs": n_pairs, "gan_type": args.gan_type,
               "config": GAN_CONFIG, "steps": args.steps, "batch": args.batch}
 
@@ -292,7 +315,8 @@ def main(argv=None) -> int:
                 steps=args.traj_steps, val_steps=args.traj_steps, seed=1234,
                 batch_mode="matched", trajectory_steps=args.traj_steps,
                 dump_init=True, gan_type=args.gan_type,
-                perturb_init=(args.gan_type == "cut_x2y"))
+                perturb_init=(args.gan_type in ("cut_x2y", "dcl_gan",
+                                                "dcl_cycle_gan")))
             lg, ld, lgd, _ = run_rebuild(
                 normal, shadow, idx, val_lit, val_shadow,
                 steps=args.traj_steps, val_steps=args.traj_steps, seed=1234,

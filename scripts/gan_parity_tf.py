@@ -37,7 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help="npz with normal/shadow/idx/val_lit/val_shadow")
-    p.add_argument("--gan_type", choices=("cycle_gan", "gan_x2y", "cut_x2y"),
+    p.add_argument("--gan_type",
+                   choices=("cycle_gan", "gan_x2y", "cut_x2y", "dcl_gan",
+                            "dcl_cycle_gan"),
                    default="cycle_gan")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--validation_steps", type=int, default=200)
@@ -115,6 +117,10 @@ def main(argv=None) -> None:
     from gan.wrappers.cut_wrapper import CUTInferenceWrapper, CUTWrapper
     from gan.wrappers.cycle_gan_wrapper import (CycleGANInferenceWrapper,
                                                 CycleGANWrapper)
+    from gan.wrappers.dcl_cycle_gan_wrapper import (
+        DCLCycleGANInferenceWrapper, DCLCycleGANWrapper)
+    from gan.wrappers.dcl_gan_wrapper import (DCLGANInferenceWrapper,
+                                              DCLGANWrapper)
     from gan.wrappers.gan_wrapper import GANInferenceWrapper, GANWrapper
 
     d = np.load(args.data)
@@ -141,20 +147,28 @@ def main(argv=None) -> None:
                 identity_loss_weight=args.identity_weight,
                 use_identity_loss=True,
                 generator_fn=gen_fn, discriminator_fn=disc_fn)
-        elif args.gan_type == "cut_x2y":
+        elif args.gan_type in ("cut_x2y", "dcl_gan", "dcl_cycle_gan"):
             # CUT binds create_only_encoder itself (cut_wrapper.py:301-336)
             cut_gen_fn = partial(shadowdata_generator_model, is_training=True)
             feat_fn = partial(shadowdata_feature_discriminator_model,
                               embedded_feature_size=args.embedded_feat_size,
                               patch_count=args.patches, is_training=True,
                               scale=args.gen_disc_reg_scale)
-            wrapper = CUTWrapper(nce_loss_weight=args.nce_weight,
-                                 identity_loss_weight=args.identity_weight,
-                                 use_identity_loss=True, tau=args.tau,
-                                 batch_size=batch, swap_inputs=False,
-                                 generator_fn=cut_gen_fn,
-                                 discriminator_fn=disc_fn,
-                                 feat_discriminator_fn=feat_fn)
+            nce_kwargs = dict(nce_loss_weight=args.nce_weight,
+                              identity_loss_weight=args.identity_weight,
+                              use_identity_loss=True, tau=args.tau,
+                              batch_size=batch,
+                              generator_fn=cut_gen_fn,
+                              discriminator_fn=disc_fn,
+                              feat_discriminator_fn=feat_fn)
+            if args.gan_type == "cut_x2y":
+                wrapper = CUTWrapper(swap_inputs=False, **nce_kwargs)
+            elif args.gan_type == "dcl_gan":
+                wrapper = DCLGANWrapper(**nce_kwargs)
+            else:
+                wrapper = DCLCycleGANWrapper(
+                    cycle_consistency_loss_weight=args.cycle_weight,
+                    **nce_kwargs)
         else:
             wrapper = GANWrapper(identity_loss_weight=args.identity_weight,
                                  use_identity_loss=True, swap_inputs=False,
@@ -163,41 +177,84 @@ def main(argv=None) -> None:
         loss = wrapper.define_loss(model)
         train_kwargs = {"generator_lr": args.generator_lr,
                         "discriminator_lr": args.discriminator_lr}
-        if args.gan_type == "cut_x2y":
+        if args.gan_type in ("cut_x2y", "dcl_gan", "dcl_cycle_gan"):
             train_kwargs["gen_discriminator_lr"] = args.gen_discriminator_lr
         train_ops = wrapper.define_train_ops(
             model, loss, max_number_of_steps=args.steps, **train_kwargs)
+
+        # group count is BAND-dependent: range(0, bands, bands//P) yields
+        # more than P groups when bands % P != 0
+        # (shadow_data_models.py:136-141 quirk, mirrored in the rebuild's
+        # FeatureDiscriminator)
+        n_groups = len(range(0, bands, bands // args.patches))
+
+        def check_cut_sharing(cut_model_t, tag):
+            # variable-sharing sanity: the 4 encoder/featD applications
+            # must REUSE, not re-create (AUTO_REUSE + name-scope-local
+            # default_name numbering, cut_wrapper.py:297-336)
+            n_gen = len(cut_model_t.generator_variables)
+            n_featd = len(cut_model_t.feat_discriminator_gen_data_variables)
+            assert n_gen == 14, f"{tag} generator var sharing broke: {n_gen}"
+            assert n_featd == n_groups * 8, \
+                f"{tag} featD var sharing broke: {n_featd} != {n_groups * 8}"
+
+        # the sequential-hook op schedule: one (train_op, {tag: loss_t})
+        # entry per session.run the real runtime performs each iteration,
+        # in hook order.  Each loss is fetched in its OWN op's run (the
+        # rebuild evaluates every sub-loss at that unit's pre-update
+        # parameters; summing per-direction tensors fetched at their own
+        # runs reproduces that exactly for DCL).
         gen_disc_loss_t = None
         if args.gan_type == "cycle_gan":
             gen_loss_t = (loss.loss_x2y.generator_loss
                           + loss.loss_y2x.generator_loss)
             disc_loss_t = (loss.loss_x2y.discriminator_loss
                            + loss.loss_y2x.discriminator_loss)
+            schedule = [(train_ops.generator_train_op, {"gen": gen_loss_t}),
+                        (train_ops.discriminator_train_op,
+                         {"disc": disc_loss_t})]
+        elif args.gan_type in ("dcl_gan", "dcl_cycle_gan"):
+            # 6 sub-updates: G, D, featD for x2y then y2x
+            # (get_sequential_train_hooks_dclgan, dcl_gan_wrapper.py:213-229)
+            check_cut_sharing(model.model_x2y, "x2y")
+            check_cut_sharing(model.model_y2x, "y2x")
+            schedule = []
+            for ops, l in ((train_ops.x2y_ops, loss.loss_x2y),
+                           (train_ops.y2x_ops, loss.loss_y2x)):
+                schedule += [
+                    (ops.generator_train_op, {"gen": l.generator_loss}),
+                    (ops.discriminator_train_op,
+                     {"disc": l.discriminator_loss}),
+                    (ops.gen_discriminator_train_op,
+                     {"gen_disc": l.gen_discriminator_loss})]
+            gen_loss_t = (loss.loss_x2y.generator_loss
+                          + loss.loss_y2x.generator_loss)
+            disc_loss_t = (loss.loss_x2y.discriminator_loss
+                           + loss.loss_y2x.discriminator_loss)
+            gen_disc_loss_t = (loss.loss_x2y.gen_discriminator_loss
+                               + loss.loss_y2x.gen_discriminator_loss)
         else:
             gen_loss_t = loss.generator_loss
             disc_loss_t = loss.discriminator_loss
+            schedule = [(train_ops.generator_train_op, {"gen": gen_loss_t}),
+                        (train_ops.discriminator_train_op,
+                         {"disc": disc_loss_t})]
             if args.gan_type == "cut_x2y":
                 gen_disc_loss_t = loss.gen_discriminator_loss
-                # variable-sharing sanity: the 4 encoder/featD applications
-                # must REUSE, not re-create (AUTO_REUSE + name-scope-local
-                # default_name numbering, cut_wrapper.py:297-336)
-                n_gen = len(model.generator_variables)
-                n_featd = len(model.feat_discriminator_gen_data_variables)
-                assert n_gen == 14, f"generator var sharing broke: {n_gen}"
-                # group count is BAND-dependent: range(0, bands, bands//P)
-                # yields more than P groups when bands % P != 0
-                # (shadow_data_models.py:136-141 quirk, mirrored in the
-                # rebuild's FeatureDiscriminator)
-                n_groups = len(range(0, bands, bands // args.patches))
-                assert n_featd == n_groups * 8, \
-                    f"featD var sharing broke: {n_featd} != {n_groups * 8}"
+                check_cut_sharing(model, "cut")
+                schedule.append((train_ops.gen_discriminator_train_op,
+                                 {"gen_disc": gen_disc_loss_t}))
 
         infer_gen_fn = partial(shadowdata_generator_model,
                                create_only_encoder=False, is_training=False)
         vx = v1.placeholder(tf.float32, (None, 1, 1, bands), name="val_x")
         vy = v1.placeholder(tf.float32, (None, 1, 1, bands), name="val_y")
-        if args.gan_type == "cycle_gan":
-            infer = CycleGANInferenceWrapper(shadow_generator_fn=infer_gen_fn)
+        if args.gan_type in ("cycle_gan", "dcl_gan", "dcl_cycle_gan"):
+            bidir_cls = {"cycle_gan": CycleGANInferenceWrapper,
+                         "dcl_gan": DCLGANInferenceWrapper,
+                         "dcl_cycle_gan": DCLCycleGANInferenceWrapper}
+            infer = bidir_cls[args.gan_type](
+                shadow_generator_fn=infer_gen_fn)
             shadow_out = infer.construct_inference_graph(
                 vx, is_shadow_graph=True, clip_invalid_values=False)
             deshadow_out = infer.construct_inference_graph(
@@ -212,6 +269,8 @@ def main(argv=None) -> None:
             deshadow_out = None
 
         grad_fetches = {}
+        if args.dump_grads and args.gan_type != "cut_x2y":
+            raise SystemExit("--dump_grads is a cut_x2y-only diagnostic")
         if args.dump_grads:
             for loss_t, variables, tag in (
                     (loss.generator_loss, model.generator_variables, "gen"),
@@ -227,7 +286,7 @@ def main(argv=None) -> None:
         var_list = v1.global_variables()
 
     losses_gen, losses_disc, losses_gen_disc = [], [], []
-    runs_per_step = 3 if args.gan_type == "cut_x2y" else 2
+    runs_per_step = len(schedule)
     validations = {}
     with v1.Session(graph=graph) as sess:
         sess.run(init_op)
@@ -255,18 +314,17 @@ def main(argv=None) -> None:
                 consumed += runs_per_step
             else:
                 rows = [idx[step]] * runs_per_step
-            g_row, d_row = rows[0], rows[1]
-            _, gl = sess.run(
-                [train_ops.generator_train_op, gen_loss_t],
-                {x_ph: normal[g_row], y_ph: shadow[g_row]})
-            _, dl = sess.run(
-                [train_ops.discriminator_train_op, disc_loss_t],
-                {x_ph: normal[d_row], y_ph: shadow[d_row]})
-            gdl = None
-            if runs_per_step == 3:
-                _, gdl = sess.run(
-                    [train_ops.gen_discriminator_train_op, gen_disc_loss_t],
-                    {x_ph: normal[rows[2]], y_ph: shadow[rows[2]]})
+            totals = {"gen": 0.0, "disc": 0.0, "gen_disc": 0.0}
+            seen = set()
+            for row, (op, fetches) in zip(rows, schedule):
+                tags = list(fetches)
+                vals = sess.run([op] + [fetches[t] for t in tags],
+                                {x_ph: normal[row], y_ph: shadow[row]})
+                for t, v in zip(tags, vals[1:]):
+                    totals[t] += float(v)
+                    seen.add(t)
+            gl, dl = totals["gen"], totals["disc"]
+            gdl = totals["gen_disc"] if "gen_disc" in seen else None
             sess.run(train_ops.global_step_inc_op)
             if step < args.trajectory_steps:
                 losses_gen.append(float(gl))
