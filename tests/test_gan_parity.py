@@ -23,19 +23,28 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.mark.heavy
-def test_matched_init_trajectory_parity(tmp_path):
+@pytest.mark.parametrize("gan_type,bands,tol", [
+    # NCE families need bands >= 4*patches: below that the featD's
+    # patch_size//4 FC has width 0 and the REFERENCE side crashes in
+    # oneDNN (shadow_data_models.py:136-146 quirk boundary).  Their
+    # losses are ~60-600x larger, hence the matching absolute tolerance.
+    ("cycle_gan", "8", 5e-4),
+    ("dcl_gan", "24", 5e-2),
+])
+def test_matched_init_trajectory_parity(tmp_path, gan_type, bands, tol):
     out = str(tmp_path / "gan_parity.json")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "gan_episode_parity.py"),
-         "--h", "32", "--w", "32", "--bands", "8", "--classes", "3",
+         "--gan_type", gan_type,
+         "--h", "32", "--w", "32", "--bands", bands, "--classes", "3",
          "--traj_steps", "12", "--traj_batch", "4", "--skip_statistical",
          "--jax_platform", "cpu", "--out", out],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=1800,
         env=dict(os.environ, JAX_PLATFORMS="cpu"), cwd=REPO)
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-2000:]
     with open(out) as fid:
         report = json.load(fid)
     traj = report["trajectory"]
-    assert traj["max_abs_gen_delta"] < 5e-4, traj
-    assert traj["max_abs_disc_delta"] < 5e-4, traj
+    assert traj["max_abs_gen_delta"] < tol, traj
+    assert traj["max_abs_disc_delta"] < tol, traj
     assert report["parity_target_met"], report
