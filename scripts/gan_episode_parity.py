@@ -329,6 +329,21 @@ def main(argv=None) -> int:
             gen_disc_delta = [abs(a - b) for a, b in
                               zip(tf_rep.get("trajectory_gen_disc_loss", []),
                                   lgd)]
+
+            def within(deltas, refs):
+                # scale-aware gate: the NCE families' generator losses are
+                # O(100-600) (P*P-way flattened softmax), so a fixed 5e-3
+                # absolute threshold is ~1e-5 RELATIVE there while being
+                # ~25% of a cycle_gan disc loss; allow 1e-4 relative with a
+                # 5e-3 absolute floor (an implementation divergence shows
+                # up at O(1) relative within a few steps — measured)
+                return all(d <= max(5e-3, 1e-4 * abs(r))
+                           for d, r in zip(deltas, refs))
+
+            traj_ok = (within(gen_delta, tf_rep["trajectory_gen_loss"])
+                       and within(disc_delta, tf_rep["trajectory_disc_loss"])
+                       and within(gen_disc_delta,
+                                  tf_rep.get("trajectory_gen_disc_loss", [])))
             report["trajectory"] = {
                 "steps": args.traj_steps, "batch": args.traj_batch,
                 "reference_gen_loss": tf_rep["trajectory_gen_loss"],
@@ -337,8 +352,7 @@ def main(argv=None) -> int:
                 "rebuild_disc_loss": ld,
                 "max_abs_gen_delta": max(gen_delta),
                 "max_abs_disc_delta": max(disc_delta),
-                "ok": bool(max(gen_delta + disc_delta + gen_disc_delta)
-                           < 5e-3),
+                "ok": bool(traj_ok),
             }
             if gen_disc_delta:
                 report["trajectory"]["reference_gen_disc_loss"] = \
