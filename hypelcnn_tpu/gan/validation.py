@@ -110,7 +110,11 @@ def load_samples_for_testing(data_set, sample_count: int, neighborhood: int,
 def compute_ratio_stats(generated: np.ndarray, originals: np.ndarray,
                         shadow_ratio: np.ndarray):
     """ratio/mean/std/divergences (reference `create_stats_tensor`, `:315-330`)."""
-    ratio = np.squeeze(generated / originals, axis=(1, 2)) * shadow_ratio
+    # zero-valued original bands produce inf/nan ratios; those rows are
+    # dropped by the finite mask below exactly as the reference's stats do,
+    # so suppress only the warning, not the values
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.squeeze(generated / originals, axis=(1, 2)) * shadow_ratio
     finite = np.all(np.isfinite(ratio), axis=1)
     ratio = ratio[finite]
     mean = ratio.mean(axis=0)
