@@ -29,6 +29,7 @@ import argparse
 import json
 import os
 import sys
+import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -305,6 +306,7 @@ def main(argv=None) -> None:
             np.savez(args.dump_grads, **sess.run(
                 grad_fetches, {x_ph: normal[g_row0], y_ph: shadow[g_row0]}))
         consumed = 0
+        train_t0 = time.time()
         for step in range(args.steps):
             if args.batch_mode == "ref":
                 # each sequential hook's session.run advances the tf.data
@@ -339,6 +341,7 @@ def main(argv=None) -> None:
                 validations[str(it)] = (gen_shadow, gen_deshadow)
                 print(f"[tf] step {it}: gen_loss={float(gl):.4f} "
                       f"disc_loss={float(dl):.4f}", flush=True)
+        train_seconds = time.time() - train_t0
         if args.dump_final:
             np.savez(args.dump_final,
                      **{v.name: sess.run(v) for v in var_list})
@@ -363,6 +366,8 @@ def main(argv=None) -> None:
         "batch": batch,
         "batch_mode": args.batch_mode,
         "run_seed": args.run_seed,
+        "train_seconds": round(train_seconds, 2),
+        "steps_per_sec": round(args.steps / train_seconds, 2),
         "validation_iterations": sorted(int(k) for k in validations),
         "trajectory_gen_loss": losses_gen,
         "trajectory_disc_loss": losses_disc,
