@@ -224,7 +224,12 @@ def main(argv=None) -> int:
                              "natively, the rebuild importing it via "
                              "utils/tf_checkpoint_import)")
     parser.add_argument("--jax_platform", default=None,
-                        help="force the rebuild side onto cpu/tpu")
+                        help="force the rebuild side's jax platform "
+                             "('cpu' for CPU-vs-CPU comparisons).  Leave "
+                             "UNSET to use the ambient accelerator — in "
+                             "the axon-tunnel environment the TPU plugin "
+                             "is NOT named 'tpu' and forcing 'tpu' fails "
+                             "with 'No jellyfish device found'")
     parser.add_argument("--skip_reference", action="store_true",
                         help="rebuild side only (calibration runs)")
     parser.add_argument("--out", default=os.path.join(REPO, "ACCURACY_PARITY.json"))
