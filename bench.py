@@ -28,8 +28,11 @@ jitted dispatch) as a second machine-readable metric.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -102,6 +105,129 @@ def _bytes_of(compiled) -> float:
     return float(cost.get("bytes accessed", 0.0)) if cost else 0.0
 
 
+# ---------------------------------------------------------------------------
+# Outage-proof supervisor.
+#
+# Round 4's driver capture (BENCH_r04.json) failed rc=1 because the axon TPU
+# tunnel returned UNAVAILABLE at snapshot time — and the tunnel's OTHER
+# documented failure mode is a plain hang on ``jax.devices()`` (CLAUDE.md
+# "Environment hazards").  Neither can be survived in-process: a hang inside
+# the PJRT client is not interruptible from Python.  So the default entry
+# point is a supervisor that
+#   1. probes backend liveness in a SUBPROCESS with a hard timeout (a hung
+#      probe is killed, not waited on),
+#   2. re-invokes this file with ``--inner`` as a timed subprocess to run the
+#      actual benchmark,
+#   3. retries both with exponential backoff under a total deadline, and
+#   4. on final failure prints ONE parseable JSON line carrying the error and
+#      the last good recorded value (scanned from BENCH_r*.json) instead of a
+#      traceback — the driver's record stays machine-readable either way.
+#
+# Env knobs (all optional; defaults sized for the real driver run):
+#   BENCH_ATTEMPTS=4  BENCH_BACKOFF_S=60  BENCH_PROBE_TIMEOUT_S=240
+#   BENCH_INNER_TIMEOUT_S=2400  BENCH_DEADLINE_S=4800
+#   BENCH_PROBE_OVERRIDE=<shell cmd>   (tests substitute a failing probe)
+# ---------------------------------------------------------------------------
+
+_PROBE_SRC = (
+    "import jax; d = jax.devices(); assert d; print(d[0].device_kind)"
+)
+
+METRIC_NAME = "hypelcnn_train_patches_per_sec_per_chip"
+
+
+def _last_good():
+    """Latest BENCH_r*.json whose parsed record carries a value."""
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("value"):
+            best = {"value": parsed["value"],
+                    "unit": parsed.get("unit"),
+                    "source": os.path.basename(path)}
+    return best
+
+
+def _tail(text, n=400) -> str:
+    return (text or "").strip()[-n:]
+
+
+def _supervise(passthrough_argv) -> int:
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+    backoff = float(os.environ.get("BENCH_BACKOFF_S", "60"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240"))
+    inner_timeout = float(os.environ.get("BENCH_INNER_TIMEOUT_S", "2400"))
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE_S", "4800"))
+    errors = []
+    for i in range(attempts):
+        if time.time() > deadline:
+            errors.append(f"attempt {i}: total deadline exceeded")
+            break
+        probe_override = os.environ.get("BENCH_PROBE_OVERRIDE")
+        try:
+            if probe_override:
+                probe = subprocess.run(probe_override, shell=True, text=True,
+                                       capture_output=True, timeout=probe_timeout)
+            else:
+                probe = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                                       text=True, capture_output=True,
+                                       timeout=probe_timeout)
+            probe_ok = probe.returncode == 0
+            if not probe_ok:
+                errors.append(f"attempt {i}: probe rc={probe.returncode}: "
+                              f"{_tail(probe.stderr, 300)}")
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+            errors.append(f"attempt {i}: probe hung >{probe_timeout:.0f}s "
+                          "(backend unresponsive; killed)")
+        if probe_ok:
+            print(f"bench supervisor: backend probe ok (attempt {i}), "
+                  "running inner benchmark", file=sys.stderr)
+            try:
+                inner = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--inner",
+                     *passthrough_argv],
+                    text=True, capture_output=True, timeout=inner_timeout)
+                line = None
+                for cand in reversed((inner.stdout or "").splitlines()):
+                    cand = cand.strip()
+                    if cand.startswith("{"):
+                        try:
+                            json.loads(cand)
+                            line = cand
+                            break
+                        except ValueError:
+                            continue
+                if inner.returncode == 0 and line:
+                    print(line)
+                    return 0
+                errors.append(f"attempt {i}: inner rc={inner.returncode}: "
+                              f"{_tail(inner.stderr, 600)}")
+            except subprocess.TimeoutExpired:
+                errors.append(f"attempt {i}: inner benchmark exceeded "
+                              f"{inner_timeout:.0f}s; killed")
+        if i < attempts - 1:
+            delay = backoff * (2 ** i)
+            print(f"bench supervisor: attempt {i} failed, backing off "
+                  f"{delay:.0f}s", file=sys.stderr)
+            time.sleep(delay)
+    print(json.dumps({
+        "metric": METRIC_NAME,
+        "value": None,
+        "unit": "patches/s",
+        "vs_baseline": None,
+        "error": "; ".join(errors)[-1500:] or "unknown failure",
+        "last_good": _last_good(),
+    }))
+    return 0
+
+
 def _honor_platform_request() -> None:
     # the ambient TPU plugin wins even over JAX_PLATFORMS (CLAUDE.md);
     # --smoke's documented CPU pass needs the authoritative config switch
@@ -124,6 +250,12 @@ def main() -> None:
                              "log-every-200 training cadence")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a CPU correctness pass; NOT a benchmark")
+    parser.add_argument("--inner", action="store_true",
+                        help="run the benchmark body directly (no supervisor; "
+                             "used by the supervisor's own re-invocation)")
+    parser.add_argument("--supervise", action="store_true",
+                        help="force the supervisor even with --smoke (lets "
+                             "tests exercise the retry/JSON-relay path on CPU)")
     parser.add_argument("--fused", type=int, default=None, choices=(0, 1),
                         help="override fuse_level_convs (A/B lever; default: "
                              "the model's default)")
@@ -136,6 +268,13 @@ def main() -> None:
                              "reaches the remote TPU compiler (env XLA_FLAGS "
                              "may not)")
     args = parser.parse_args()
+    if not args.inner and (args.supervise or not args.smoke):
+        # default path (what the driver runs): outage-proof supervisor.
+        # --smoke stays direct — it is a CPU correctness pass used by tests
+        # and needs no tunnel protection (unless --supervise asks for it).
+        passthrough = [a for a in sys.argv[1:]
+                       if a not in ("--inner", "--supervise")]
+        raise SystemExit(_supervise(passthrough))
     _honor_platform_request()
 
     import jax

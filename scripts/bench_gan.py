@@ -142,8 +142,15 @@ def main(argv=None):
         try:
             with open(args.out) as f:
                 prev = json.load(f)
-            if prev.get("config", {}).get("bands") == args.bands:
+            # compare the FULL measurement config, not just bands: results
+            # taken at a different chunk/windows/device are not comparable
+            # and must not be mixed into one artifact (ADVICE r4)
+            prev_cfg = dict(prev.get("config", {}))
+            if prev_cfg == out["config"]:
                 out["results"].update(prev.get("results", {}))
+            else:
+                print(f"existing {args.out} has different config "
+                      f"({prev_cfg} != {out['config']}); starting fresh")
         except (json.JSONDecodeError, KeyError):
             pass
 

@@ -102,8 +102,21 @@ def main(argv=None) -> int:
              "--gan_ckpt", ckpt_prefix, "--jax_platform", "cpu",
              "--out", aug_out], cwd=REPO, text=True)
         rc = proc.returncode
+        if not os.path.exists(aug_out):
+            # the inner run died before writing its report — nothing to
+            # merge; do NOT touch the committed parity artifact
+            print(f"episode_parity.py produced no report (rc={rc}); "
+                  f"leaving {args.out} untouched")
+            return rc or 1
         with open(aug_out) as fid:
             aug_report = json.load(fid)
+        if rc != 0:
+            # gate FAILED: report exists but must not silently overwrite a
+            # passing point in the committed artifact
+            print(f"gan_augmented parity gate FAILED (rc={rc}); report at "
+                  f"{aug_out} NOT merged into {args.out}")
+            print(json.dumps(aug_report, indent=2)[:2000])
+            return rc
 
     aug_report["gan_generator"] = {
         "trained_by": "reference (gan_parity_tf under tfgan shim)",
