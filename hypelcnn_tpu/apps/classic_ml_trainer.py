@@ -110,6 +110,8 @@ def perform_full_scene_classification(data_path, loader_name, neighborhood, esti
 
 
 def main(argv=None) -> None:
+    from hypelcnn_tpu.core.platform import honor_platform_request
+    honor_platform_request()  # JAX_PLATFORMS env, authoritatively
     parser = argparse.ArgumentParser()
     add_parse_cmds_for_loaders(parser)
     add_parse_cmds_for_loggers(parser)

@@ -35,6 +35,8 @@ def restore_gan_params(trainer, checkpoint_path: str):
 
 
 def main(argv=None) -> None:
+    from hypelcnn_tpu.core.platform import honor_platform_request
+    honor_platform_request()  # JAX_PLATFORMS env, authoritatively
     import jax.numpy as jnp
 
     parser = argparse.ArgumentParser()

@@ -39,6 +39,8 @@ def add_parse_cmds_for_app(parser) -> None:
 
 
 def main(argv=None) -> None:
+    from hypelcnn_tpu.core.platform import honor_platform_request
+    honor_platform_request()  # JAX_PLATFORMS env, authoritatively
     import jax.numpy as jnp
 
     parser = argparse.ArgumentParser()

@@ -239,6 +239,8 @@ def run_session(params, base_log_path) -> List[float]:
 
 
 def main(argv=None) -> None:
+    from hypelcnn_tpu.core.platform import honor_platform_request
+    honor_platform_request()  # JAX_PLATFORMS env, authoritatively
     parser = argparse.ArgumentParser()
     add_parse_cmds_for_loaders(parser)
     add_parse_cmds_for_loggers(parser)

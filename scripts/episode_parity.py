@@ -211,6 +211,12 @@ def main(argv=None) -> int:
     parser.add_argument("--filter_count", type=int, default=None,
                         help="override EPISODE_PARAMS filter_count (e.g. 480 "
                              "for the reference-scale operating point)")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", dest="param_overrides",
+                        help="override an EPISODE_PARAMS entry for BOTH "
+                             "sides (repeatable; value parsed as JSON when "
+                             "possible, e.g. --set learning_rate=1e-3 "
+                             "--set iter_routing=2)")
     parser.add_argument("--model", default="HYPELCNNModel",
                         choices=("HYPELCNNModel", "CONCNNModel", "CAPModel",
                                  "DUALCNNModel"),
@@ -245,6 +251,13 @@ def main(argv=None) -> int:
         EPISODE_PARAMS.update(override)
     if args.filter_count:
         EPISODE_PARAMS["filter_count"] = args.filter_count
+    for kv in args.param_overrides:
+        key, _, raw = kv.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw  # bare strings (e.g. optimizer names)
+        EPISODE_PARAMS[key] = value
 
     from hypelcnn_tpu.data.loaders.synthetic import SyntheticDataLoader
 
