@@ -41,8 +41,6 @@ def add_parse_cmds_for_app(parser) -> None:
 def main(argv=None) -> None:
     from hypelcnn_tpu.core.platform import honor_platform_request
     honor_platform_request()  # JAX_PLATFORMS env, authoritatively
-    import jax.numpy as jnp
-
     parser = argparse.ArgumentParser()
     add_parse_cmds_for_loaders(parser)
     add_parse_cmds_for_loggers(parser)
@@ -77,13 +75,9 @@ def main(argv=None) -> None:
         from hypelcnn_tpu.apps.gan_infer_for_shadow import restore_gan_params
         params = restore_gan_params(trainer, flags.base_log_path)
 
-        flat = pixels.reshape(-1, 1, 1, band_size)
-        out = np.empty_like(flat)
-        mega = 65536
-        for s in range(0, flat.shape[0], mega):
-            chunk = jnp.asarray(flat[s:s + mega])
-            out[s:s + mega] = np.asarray(trainer.translate(params, chunk, is_shadow))
-        converted = out.reshape(h, w, band_size)
+        # whole scene in ONE jitted dispatch (the reference's per-pixel
+        # sess.run loop takes hours at this scale)
+        converted = trainer.translate_scene(params, pixels, is_shadow)
 
         if not flags.convert_all:
             mask = (np.asarray(shadow_map)[:h, :w] == filter_sign)[:, :, None]

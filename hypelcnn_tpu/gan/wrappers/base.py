@@ -203,6 +203,41 @@ class GANTrainerBase:
     def translate(self, params, x: jax.Array, is_shadow: bool) -> jax.Array:
         raise NotImplementedError
 
+    def translate_scene(self, params, pixels, is_shadow: bool,
+                        block: int = 65536):
+        """Translate a whole ``[H, W, bands]`` scene in ONE jitted dispatch.
+
+        The reference's image translation feeds one 1x1x1xbands pixel per
+        ``sess.run`` — hours at GRSS2013 scale
+        (`gan/gan_infer_image_for_shadow.py:62-104`).  Here the pixels fold
+        into ``[n_blocks, block, 1, 1, bands]`` and a ``lax.map`` over
+        blocks runs the generator on-device; through the tunneled chip the
+        per-dispatch overhead (0.25-5 s, CLAUDE.md) is then paid once per
+        scene instead of once per block (or per pixel).
+        """
+        import math as _math
+
+        import numpy as _np
+
+        h, w, c = pixels.shape
+        total = h * w
+        n_blocks = _math.ceil(total / block)
+        cache = getattr(self, "_scene_jits", None)
+        if cache is None:
+            cache = self._scene_jits = {}
+        fn = cache.get((block, c, is_shadow))
+        if fn is None:
+            def run(p, blocks):
+                return jax.lax.map(
+                    lambda b: self.translate(p, b, is_shadow), blocks)
+            fn = cache[(block, c, is_shadow)] = jax.jit(run)
+        flat = _np.asarray(pixels, dtype=_np.float32).reshape(total, c)
+        pad = n_blocks * block - total
+        if pad:
+            flat = _np.pad(flat, ((0, pad), (0, 0)))
+        out = fn(params, jnp.asarray(flat.reshape(n_blocks, block, 1, 1, c)))
+        return _np.asarray(out).reshape(-1, c)[:total].reshape(h, w, c)
+
     def train_step(self, state: GANState, x: jax.Array, y: jax.Array, key: jax.Array):
         if self._train_step is None:
             fn = self.build_train_step()

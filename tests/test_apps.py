@@ -110,6 +110,31 @@ class TestGanApps:
                     f"--output_path={tmp_path}"])
         assert any(f.startswith("best_ratio_") for f in os.listdir(tmp_path))
 
+    def test_gan_infer_image_single_dispatch_scene(self, tmp_path):
+        """Full-scene translation app: trains a tiny GAN, then translates
+        the whole scene via translate_scene (one jitted lax.map dispatch —
+        the reference's per-pixel sess.run loop rebuilt,
+        gan/gan_infer_image_for_shadow.py:62-104) and writes the HSI + RGB
+        tifs with the shadow-map filter applied."""
+        from hypelcnn_tpu.apps.gan_train_for_shadow import main as gan_main
+        scene = "synthetic://?h=24&w=24&bands=8&classes=3"
+        gan_main(["--loader_name=SyntheticDataLoader", f"--path={scene}",
+                  "--gan_type=cycle_gan", "--step=2", "--batch_size=4",
+                  "--validation_steps=2", "--validation_sample_count=6",
+                  "--pairing_method=dummy", f"--base_log_path={tmp_path}/g"])
+        run_dir = os.path.join(tmp_path, [d for d in os.listdir(tmp_path)
+                                          if d.startswith("g_")][0])
+
+        from hypelcnn_tpu.apps.gan_infer_image_for_shadow import main as img_main
+        img_main(["--loader_name=SyntheticDataLoader", f"--path={scene}",
+                  "--gan_type=cycle_gan", "--make_them_shadow=shadow",
+                  f"--base_log_path={run_dir}/gan_params",
+                  f"--output_path={tmp_path}"])
+        outs = os.listdir(tmp_path)
+        assert any(f.startswith("shadow_image_shadow") and f.endswith(".tif")
+                   for f in outs), outs
+        assert any(f.startswith("shadow_image_rgb_shadow") for f in outs), outs
+
     def test_gan_train_loop_runs_for_every_gan_type(self, tmp_path):
         """The CLI training loop keys its scan output on generator_loss;
         every registered gan_type must survive it (dcl_gan once crashed
