@@ -180,6 +180,22 @@ def test_trainer_steps(gan_type):
     assert out_patch.shape == patch.shape
 
 
+def test_translate_scene_matches_direct_translate_across_block_boundary():
+    """translate_scene (one lax.map dispatch, pad + unpad) must equal the
+    plain batched translate bit-for-bit — including pixels straddling block
+    boundaries and a non-divisible tail."""
+    trainer = get_trainer_dict(CONFIG, BANDS, max_steps=10)["cycle_gan"]
+    state = trainer.init_state(jax.random.key(0))
+    params = jax.device_get(state.params)
+    h, w = 7, 11  # 77 px over block=16 -> 5 blocks with a 3-px pad tail
+    scene = np.asarray(jax.random.uniform(jax.random.key(3), (h, w, BANDS)),
+                       dtype=np.float32)
+    swept = trainer.translate_scene(params, scene, True, block=16)
+    direct = np.asarray(trainer.translate(
+        params, scene.reshape(-1, 1, 1, BANDS), True)).reshape(h, w, BANDS)
+    np.testing.assert_array_equal(swept, direct)
+
+
 class TestSampling:
     def test_random_sampler_counts_and_alignment(self, synthetic_loader):
         scene = synthetic_loader.load_data(neighborhood=0, normalize=True)
