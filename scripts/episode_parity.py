@@ -238,6 +238,14 @@ def main(argv=None) -> int:
                              "with 'No jellyfish device found'")
     parser.add_argument("--skip_reference", action="store_true",
                         help="rebuild side only (calibration runs)")
+    parser.add_argument("--reference_golden", default=None,
+                        help="cache file for the reference side: when it "
+                             "exists and its config block matches this "
+                             "invocation exactly, the stored TF runs are "
+                             "reused (the CI drift gate re-runs only the "
+                             "REBUILD side — the reference is frozen code); "
+                             "otherwise the TF side runs and the golden is "
+                             "(re)written")
     parser.add_argument("--out", default=os.path.join(REPO, "ACCURACY_PARITY.json"))
     args = parser.parse_args(argv)
 
@@ -280,8 +288,33 @@ def main(argv=None) -> int:
     seeds = ([int(v) for v in args.seeds.split(",")] if args.seeds
              else [args.run_seed])
     ref_runs, rebuild_runs = [], []
+
+    # the golden's validity contract: every input that shapes the reference
+    # trajectory must match exactly
+    golden_config = {"scene": spec, "steps": args.steps,
+                     "neighborhood": args.neighborhood,
+                     "train_ratio": args.train_ratio,
+                     "test_ratio": args.test_ratio,
+                     "spectral_augmentation": args.spectral_augmentation,
+                     "model": args.model, "gan_ckpt": args.gan_ckpt,
+                     "algorithm_params": {k: EPISODE_PARAMS[k]
+                                          for k in sorted(EPISODE_PARAMS)},
+                     "seeds": seeds}
+    golden_hit = False
+    if args.reference_golden and os.path.exists(args.reference_golden) \
+            and not args.skip_reference:
+        with open(args.reference_golden) as fid:
+            golden = json.load(fid)
+        if golden.get("config") == json.loads(json.dumps(golden_config)):
+            ref_runs = golden["reference_runs"]
+            golden_hit = True
+            print(f"reference golden HIT: {args.reference_golden} "
+                  f"({len(ref_runs)} stored TF runs reused)")
+        else:
+            print(f"reference golden STALE (config changed): re-running TF side")
+
     with tempfile.TemporaryDirectory() as tmp:
-        if not args.skip_reference:
+        if not args.skip_reference and not golden_hit:
             shared_npz = os.path.join(tmp, "shared.npz")
             # raw (unnormalized) arrays: each side runs its own (identical)
             # pad/normalize, exercising that path too
@@ -314,7 +347,14 @@ def main(argv=None) -> int:
                     tf_report = json.load(fid)
                 tf_report.pop("confusion", None)
                 ref_runs.append(tf_report)
+            if args.reference_golden:
+                with open(args.reference_golden, "w") as fid:
+                    json.dump({"config": golden_config,
+                               "reference_runs": ref_runs}, fid, indent=2)
+                print(f"reference golden written: {args.reference_golden}")
+        if ref_runs:
             report["reference"] = ref_runs[0] if len(ref_runs) == 1 else ref_runs
+            report["reference_from_golden"] = golden_hit
 
         for seed in seeds:
             rebuild_runs.append(run_rebuild(
