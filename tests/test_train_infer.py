@@ -101,6 +101,32 @@ class TestTraining:
                                        log_every=8).loss)
         np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
 
+    def test_eval_drain_pads_by_wrapping_real_samples(self, synthetic_loader):
+        """Eval batch padding must WRAP to real samples, never zeros: CAP's
+        always-batch-stats BN normalizes over the whole drain batch, and a
+        zero tail poisons its statistics (measured -1.8% validation OA at
+        the round-5 cap_trained point).  Wrapped rows stay masked out of
+        the confusion."""
+        np.random.seed(0)
+        trainer, data = make_trainer(synthetic_loader)
+        state = trainer.init_state()
+        n = trainer.sample_set.test_targets.shape[0]
+        batch = 2 ** int(np.ceil(np.log2(n))) * 2  # force a padded batch
+        metrics = trainer.evaluate(state, "test", batch_size=batch)
+        (key,) = [k for k in trainer._eval_tables if k[0] == "test"]
+        idx, coords, labels, mask = trainer._eval_tables[key]
+        idx, coords = np.asarray(idx).ravel(), np.asarray(coords).reshape(-1, 2)
+        labels, mask = np.asarray(labels).ravel(), np.asarray(mask).ravel()
+        targets = trainer.sample_set.test_targets
+        assert idx.size > n  # padding actually happened
+        # every padded row is a real sample repeated, and masked out
+        np.testing.assert_array_equal(idx, np.arange(idx.size) % n)
+        np.testing.assert_array_equal(coords, targets[idx, :2])
+        np.testing.assert_array_equal(labels, targets[idx, 2])
+        np.testing.assert_array_equal(mask, (np.arange(idx.size) < n))
+        # the confusion counts exactly the real rows
+        assert metrics.confusion.sum() == n
+
     def test_in_memory_importer_matches_scene_gather(self, synthetic_loader):
         np.random.seed(0)
         importer = get_importer_from_name("InMemoryImporter")
