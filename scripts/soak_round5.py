@@ -140,8 +140,9 @@ def _run_with_kill(cmd, log_file, log_root, kill_at, total_steps,
 
 def soak_classifier(args):
     steps = args.steps or (50000 if not args.smoke else 600)
-    scene = ("synthetic://?h=349&w=1905&bands=144&classes=15" if not args.smoke
-             else "synthetic://?h=48&w=64&bands=8&classes=4")
+    scene = args.scene or (
+        "synthetic://?h=349&w=1905&bands=144&classes=15" if not args.smoke
+        else "synthetic://?h=48&w=64&bands=8&classes=4")
     save_every = 2000 if not args.smoke else 100
     val_every = 5000 if not args.smoke else 200
     batch = 48 if not args.smoke else 32
@@ -215,6 +216,7 @@ def soak_classifier(args):
         "final_validation_accuracy": val_acc,
         "uninterrupted_wall_s": round(a_seconds, 1),
         "workdir": base,
+        "platform": args.jax_platform or "ambient",
     }
     ok = report["resume_equality_ok"] and retention_ok and n_history > 0
     report["ok"] = bool(ok)
@@ -226,8 +228,9 @@ def soak_classifier(args):
 
 def soak_gan(args):
     steps = args.steps or (100000 if not args.smoke else 400)
-    scene = ("synthetic://?h=349&w=1905&bands=144&classes=15" if not args.smoke
-             else "synthetic://?h=48&w=64&bands=8&classes=4")
+    scene = args.scene or (
+        "synthetic://?h=349&w=1905&bands=144&classes=15" if not args.smoke
+        else "synthetic://?h=48&w=64&bands=8&classes=4")
     val_every = 1000 if not args.smoke else 100
     batch = 32
     kill_at = int(steps * args.kill_frac)
@@ -293,6 +296,7 @@ def soak_gan(args):
         "validation_plots": len(plots),
         "uninterrupted_wall_s": round(a_seconds, 1),
         "workdir": base,
+        "platform": args.jax_platform or "ambient",
     }
     ok = report["resume_equality_ok"] and retention_ok and bool(best_jsons)
     report["ok"] = bool(ok)
@@ -309,6 +313,12 @@ def main(argv=None) -> int:
     parser.add_argument("--smoke", action="store_true",
                         help="tiny CPU shapes to validate the harness itself")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--scene", default=None,
+                        help="override the scene URL (e.g. a smaller scene "
+                             "for a full-step-count CPU fallback soak; the "
+                             "runtime behaviors under test — retention, "
+                             "resume, file growth — scale with step counts, "
+                             "not scene size)")
     parser.add_argument("--jax_platform", default=None,
                         help="'cpu' for smoke runs (the env var alone is "
                              "ignored; subprocesses honor it via the apps)")
