@@ -149,7 +149,7 @@ def soak_classifier(args):
     kill_at = int(steps * args.kill_frac)
     base = args.workdir or f"/tmp/soak_cls_{int(time.time())}"
     os.makedirs(base, exist_ok=True)
-    params_path = "configs/modelconfigs/alg_param_hypelcnn.json"
+    params_path = args.params or "configs/modelconfigs/alg_param_hypelcnn.json"
     if args.smoke:
         # partial modelconfig overlays model defaults (core/config.py)
         params_path = os.path.join(base, "alg_param_smoke.json")
@@ -313,6 +313,11 @@ def main(argv=None) -> int:
     parser.add_argument("--smoke", action="store_true",
                         help="tiny CPU shapes to validate the harness itself")
     parser.add_argument("--workdir", default=None)
+    parser.add_argument("--params", default=None,
+                        help="override the classifier modelconfig path (a "
+                             "narrow filter_count keeps a full-step-count "
+                             "CPU fallback soak tractable; retention/resume "
+                             "behavior is width-independent)")
     parser.add_argument("--scene", default=None,
                         help="override the scene URL (e.g. a smaller scene "
                              "for a full-step-count CPU fallback soak; the "
