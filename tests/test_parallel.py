@@ -187,11 +187,12 @@ class TestGANOnMesh:
     single-device numerics — batch over the data axis, params replicated,
     XLA-inserted gradient all-reduce."""
 
-    # 5 of the 7 registry families: y2x variants are mirror-symmetric with
-    # their x2y counterparts, so this is the full set of distinct maths
-    # (VERDICT r4 item 5 closed the cut_x2y / dcl_cycle_gan gap)
-    @pytest.mark.parametrize("gan_type", ["cycle_gan", "gan_x2y", "dcl_gan",
-                                          "cut_x2y", "dcl_cycle_gan"])
+    # ALL 7 registry families (VERDICT r4 item 5 closed the cut_x2y /
+    # dcl_cycle_gan gap; the y2x mirrors are swap_inputs=True variants of
+    # the same trainers and are asserted too — they're cheap)
+    @pytest.mark.parametrize("gan_type", ["cycle_gan", "gan_x2y", "gan_y2x",
+                                          "dcl_gan", "cut_x2y", "cut_y2x",
+                                          "dcl_cycle_gan"])
     def test_gan_dp_matches_single_device(self, gan_type):
         import jax.numpy as jnp
         from jax.sharding import Mesh
